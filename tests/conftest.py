@@ -1,0 +1,28 @@
+"""
+Test configuration: force the CPU backend with 8 virtual devices so the
+multi-chip sharding paths (jax.sharding.Mesh / shard_map) are exercised
+without TPU hardware, mirroring how the driver dry-runs multichip code.
+
+Must run before jax is imported anywhere.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # the ambient env points at the TPU tunnel
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# Make the repo root importable when pytest is run from anywhere.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Persistent XLA compile cache: the suite compiles many small convs/matmuls
+# whose shapes repeat across runs.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

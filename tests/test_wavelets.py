@@ -1,0 +1,180 @@
+"""
+Wavelet transform fidelity tests.
+
+The JAX conv-based DWT is validated three ways:
+1. filter banks against published PyWavelets db1..db4 coefficients,
+2. hand-derived haar vectors (anchoring the symmetric-extension phase),
+3. cross-checked against an independently implemented matrix-based numpy
+   oracle (tests/golden/numpy_ref.py) plus perfect-reconstruction round trips
+   over a grid of odd/even geometries.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from aind_smartspim_destripe_tpu.ops import wavelets as W
+from tests.golden import numpy_ref as G
+
+# Published pywt filter banks (dec_lo), exact to ~1e-10.
+PYWT_DEC_LO = {
+    "db1": [0.7071067811865476, 0.7071067811865476],
+    "db2": [
+        -0.12940952255092145,
+        0.22414386804185735,
+        0.836516303737469,
+        0.48296291314469025,
+    ],
+    "db3": [
+        0.035226291882100656,
+        -0.08544127388224149,
+        -0.13501102001039084,
+        0.4598775021193313,
+        0.8068915093133388,
+        0.3326705529509569,
+    ],
+    "db4": [
+        -0.010597401784997278,
+        0.032883011666982945,
+        0.030841381835986965,
+        -0.18703481171888114,
+        -0.02798376941698385,
+        0.6308807679295904,
+        0.7148465705525415,
+        0.23037781330885523,
+    ],
+}
+
+
+@pytest.mark.parametrize("name", sorted(PYWT_DEC_LO))
+def test_filter_bank_matches_pywt(name):
+    wav = W.wavelet(name)
+    np.testing.assert_allclose(wav.dec_lo, PYWT_DEC_LO[name], atol=1e-9)
+    # Orthonormality invariants
+    assert abs(np.sum(wav.rec_lo_arr) - np.sqrt(2)) < 1e-10
+    assert abs(np.sum(np.square(wav.dec_lo)) - 1.0) < 1e-10
+    assert abs(np.sum(wav.dec_hi)) < 1e-10
+    # Even-shift orthogonality of lo and hi
+    for shift in range(2, wav.flen, 2):
+        assert abs(np.dot(wav.dec_lo[:-shift], wav.dec_lo[shift:])) < 1e-10
+
+
+def test_db_generic_orders():
+    for order in (5, 6, 8, 10):
+        wav = W.wavelet(f"db{order}")
+        assert wav.flen == 2 * order
+        assert abs(np.sum(wav.rec_lo_arr) - np.sqrt(2)) < 1e-8
+        assert abs(np.sum(np.square(wav.dec_lo)) - 1.0) < 1e-8
+
+
+def test_haar_hand_derived_vector():
+    """pywt.dwt([1,2,3,4], 'haar') == cA [ (1+2)/sqrt2, (3+4)/sqrt2 ]: this
+    pins the analysis phase (offset 1 into the symmetric extension)."""
+    x = np.array([[1.0, 2.0, 3.0, 4.0]] * 4)  # constant rows
+    ca, (ch, cv, cd) = map_np(W.dwt2)(x, W.wavelet("haar"))
+    # After the y-pass on constant columns: lowpass row = sqrt(2)*[1,2,3,4]
+    np.testing.assert_allclose(
+        ca[0], np.array([3.0, 7.0]), atol=1e-6  # sqrt2 * (sqrt2*(1+2)/2 ...)
+    )
+    np.testing.assert_allclose(ch, 0.0, atol=1e-6)
+
+
+def map_np(fn):
+    def wrapped(x, *a, **k):
+        out = fn(jax.numpy.asarray(x), *a, **k)
+        return jax.tree_util.tree_map(np.asarray, out)
+
+    return wrapped
+
+
+def test_shape_ladder_production_geometry():
+    wav = W.wavelet("db3")
+    level, shapes = W.wavedec2_shapes((1600, 2000), wav, None)
+    assert level == 8
+    assert shapes[-1] == (802, 1002)  # finest
+    assert shapes[0] == (11, 12)  # coarsest
+    # ladder consistency
+    h, w = 1600, 2000
+    expect = []
+    for _ in range(level):
+        h, w = (h + 5) // 2, (w + 5) // 2
+        expect.append((h, w))
+    assert shapes == list(reversed(expect))
+
+
+@pytest.mark.parametrize("name", ["db1", "db2", "db3", "db4"])
+@pytest.mark.parametrize("shape", [(16, 16), (13, 17), (31, 9), (64, 100)])
+def test_dwt2_matches_numpy_oracle(name, shape):
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=shape).astype(np.float32)
+    ca_j, (ch_j, cv_j, cd_j) = map_np(W.dwt2)(x, W.wavelet(name))
+    ca_n, (ch_n, cv_n, cd_n) = G.dwt2_ref(x.astype(np.float64), name)
+    np.testing.assert_allclose(ca_j, ca_n, atol=2e-5)
+    np.testing.assert_allclose(ch_j, ch_n, atol=2e-5)
+    np.testing.assert_allclose(cv_j, cv_n, atol=2e-5)
+    np.testing.assert_allclose(cd_j, cd_n, atol=2e-5)
+
+
+@pytest.mark.parametrize("name", ["db1", "db3"])
+@pytest.mark.parametrize("shape", [(16, 16), (13, 17), (100, 64)])
+def test_idwt2_matches_numpy_oracle(name, shape):
+    rng = np.random.default_rng(1)
+    wav = W.wavelet(name)
+    ch_, cw_ = (
+        W.dwt_coeff_len(shape[0], wav.flen),
+        W.dwt_coeff_len(shape[1], wav.flen),
+    )
+    bands = [rng.normal(size=(ch_, cw_)).astype(np.float32) for _ in range(4)]
+    y_j = map_np(W.idwt2)(bands[0], tuple(bands[1:]), wav)
+    y_n = G.idwt2_ref(
+        bands[0].astype(np.float64), [b.astype(np.float64) for b in bands[1:]], name
+    )
+    np.testing.assert_allclose(y_j, y_n, atol=2e-5)
+
+
+@pytest.mark.parametrize("name", ["db1", "db2", "db3"])
+@pytest.mark.parametrize("shape", [(32, 32), (37, 53), (64, 100), (100, 100)])
+def test_perfect_reconstruction_multilevel(name, shape):
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=shape).astype(np.float32)
+    wav = W.wavelet(name)
+    coeffs = W.wavedec2(jax.numpy.asarray(x), wav, level=None)
+    y = np.asarray(W.waverec2(coeffs, wav))
+    assert y.shape[-2] >= shape[0] and y.shape[-1] >= shape[1]
+    np.testing.assert_allclose(y[: shape[0], : shape[1]], x, atol=5e-5)
+
+
+def test_multilevel_matches_oracle_and_batching():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(3, 41, 57)).astype(np.float32)
+    wav = W.wavelet("db3")
+    coeffs_j = W.wavedec2(jax.numpy.asarray(x), wav, level=None)
+    coeffs_n = G.wavedec2_ref(x.astype(np.float64), "db3", level=None)
+    assert len(coeffs_j) == len(coeffs_n)
+    np.testing.assert_allclose(np.asarray(coeffs_j[0]), coeffs_n[0], atol=1e-4)
+    for (j_det, n_det) in zip(coeffs_j[1:], coeffs_n[1:]):
+        for a, b in zip(j_det, n_det):
+            np.testing.assert_allclose(np.asarray(a), b, atol=1e-4)
+    # batched == per-plane
+    single = W.wavedec2(jax.numpy.asarray(x[1]), wav, level=None)
+    np.testing.assert_allclose(
+        np.asarray(coeffs_j[0][1]), np.asarray(single[0]), atol=1e-6
+    )
+
+
+def test_waverec2_crop_rule_odd_shapes():
+    """Odd geometries force the crop-by-one rule at several levels."""
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(45, 77)).astype(np.float32)
+    wav = W.wavelet("db3")
+    coeffs = W.wavedec2(jax.numpy.asarray(x), wav, level=2)
+    y = np.asarray(W.waverec2(coeffs, wav))
+    y_ref = G.waverec2_ref(G.wavedec2_ref(x.astype(np.float64), "db3", 2), "db3")
+    np.testing.assert_allclose(y, y_ref, atol=1e-4)
+    np.testing.assert_allclose(y[:45, :77], x, atol=5e-5)
+
+
+def test_max_level_zero_small_image():
+    wav = W.wavelet("db3")
+    level, shapes = W.wavedec2_shapes((4, 4), wav, None)
+    assert level == 0 and shapes == []
