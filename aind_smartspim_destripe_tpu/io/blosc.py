@@ -1,0 +1,338 @@
+"""
+Blosc1 chunk codec (zstd + byte/bit-shuffle), the format used by the reference
+output store (zarr_destriper.py:1071: ``Blosc(cname="zstd", clevel=3,
+shuffle=SHUFFLE)``) and by SmartSPIM input tiles.
+
+Three backends, in preference order:
+1. the native C++ runtime (csrc/destripe_runtime.cpp -> libdestripe_runtime.so,
+   multithreaded, loaded via ctypes),
+2. a pure-Python/numpy + `zstandard` implementation of the same frame format,
+3. system libblosc (ctypes), used in tests as an interop oracle.
+
+Frame format implemented (c-blosc 1.x, zstd path — zstd blocks are never
+"split" into per-byte streams, unlike blosclz/lz4):
+
+  header[16]: version(1B)=2, versionlz(1B)=1, flags(1B), typesize(1B),
+              nbytes(u32le), blocksize(u32le), cbytes(u32le)
+  flags: 0x01 byte-shuffle | 0x02 memcpyed | 0x04 bit-shuffle,
+         compressor code in bits 5-7 (zstd=4, zlib=3, lz4=1, blosclz=0)
+  then (unless memcpyed): int32le block offsets (from frame start), then per
+  block: [int32le csize][codec stream]; csize == uncompressed block length
+  means the block is stored raw. Shuffle is applied per block.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+import os
+import struct
+from typing import Optional
+
+import numpy as np
+
+try:
+    import zstandard as _zstd
+except ImportError:  # pragma: no cover
+    _zstd = None
+
+NOSHUFFLE = 0
+SHUFFLE = 1  # byte shuffle
+BITSHUFFLE = 2
+
+_COMPRESSOR_CODES = {"blosclz": 0, "lz4": 1, "lz4hc": 1, "snappy": 2, "zlib": 3, "zstd": 4}
+_DEFAULT_BLOCKSIZE = 1 << 18  # 256 KiB
+
+
+# ---------------------------------------------------------------------------
+# Shuffle filters (numpy-vectorized)
+# ---------------------------------------------------------------------------
+
+
+def byte_shuffle(data: bytes | np.ndarray, typesize: int) -> bytes:
+    """Transpose the byte planes of `data` (length need not divide typesize:
+    the trailing remainder bytes are copied through, like c-blosc)."""
+    buf = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) else data
+    n = buf.size
+    if typesize <= 1 or n < typesize:
+        return buf.tobytes()
+    nelem = n // typesize
+    main = buf[: nelem * typesize].reshape(nelem, typesize).T
+    out = np.empty(n, dtype=np.uint8)
+    out[: nelem * typesize] = main.reshape(-1)
+    out[nelem * typesize :] = buf[nelem * typesize :]
+    return out.tobytes()
+
+
+def byte_unshuffle(data: bytes, typesize: int) -> bytes:
+    buf = np.frombuffer(data, dtype=np.uint8)
+    n = buf.size
+    if typesize <= 1 or n < typesize:
+        return bytes(data)
+    nelem = n // typesize
+    main = buf[: nelem * typesize].reshape(typesize, nelem).T
+    out = np.empty(n, dtype=np.uint8)
+    out[: nelem * typesize] = main.reshape(-1)
+    out[nelem * typesize :] = buf[nelem * typesize :]
+    return out.tobytes()
+
+
+def bit_shuffle(data: bytes, typesize: int) -> bytes:
+    """Bit-plane transpose within each typesize element group (c-blosc
+    bitshuffle). Vectorized via numpy unpackbits."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    n = buf.size
+    nelem = n // typesize
+    main = buf[: nelem * typesize]
+    bits = np.unpackbits(main.reshape(nelem, typesize), axis=None, bitorder="little")
+    bits = bits.reshape(nelem, typesize * 8).T
+    out = np.empty(n, dtype=np.uint8)
+    out[: nelem * typesize] = np.packbits(bits, bitorder="little")
+    out[nelem * typesize :] = buf[nelem * typesize :]
+    return out.tobytes()
+
+
+def bit_unshuffle(data: bytes, typesize: int) -> bytes:
+    buf = np.frombuffer(data, dtype=np.uint8)
+    n = buf.size
+    nelem = n // typesize
+    main = buf[: nelem * typesize]
+    bits = np.unpackbits(main, bitorder="little").reshape(typesize * 8, nelem).T
+    out = np.empty(n, dtype=np.uint8)
+    out[: nelem * typesize] = np.packbits(bits.reshape(-1), bitorder="little")
+    out[nelem * typesize :] = buf[nelem * typesize :]
+    return out.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Pure-python frame codec
+# ---------------------------------------------------------------------------
+
+
+def _pick_blocksize(nbytes: int, typesize: int, requested: int = 0) -> int:
+    bs = requested or _DEFAULT_BLOCKSIZE
+    bs = max(typesize, min(bs, nbytes)) if nbytes else typesize
+    if typesize > 1:
+        bs -= bs % typesize  # keep blocks element-aligned
+    return max(bs, typesize)
+
+
+def compress_py(
+    data: bytes | memoryview | np.ndarray,
+    typesize: int,
+    clevel: int = 3,
+    shuffle: int = SHUFFLE,
+    cname: str = "zstd",
+    blocksize: int = 0,
+) -> bytes:
+    if cname != "zstd":
+        raise NotImplementedError(f"python backend supports zstd only, got {cname}")
+    if _zstd is None:  # pragma: no cover
+        raise RuntimeError("zstandard module unavailable")
+    raw = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, (bytes, bytearray)) else np.frombuffer(data, np.uint8)
+    nbytes = raw.size
+    bs = _pick_blocksize(nbytes, typesize)
+    nblocks = max(1, -(-nbytes // bs))
+
+    # zstd level mapping: c-blosc maps clevel 1..9 onto the codec's range;
+    # exact level only affects ratio, not format compatibility.
+    cctx = _zstd.ZstdCompressor(level=clevel)
+
+    # 0x10 advertises the non-split block layout (c-blosc >= 1.14 sets it for
+    # codecs like zstd whose blocks are single streams; decoders require it).
+    flags = 0x10
+    if shuffle == SHUFFLE and typesize > 1:
+        flags |= 0x01
+    elif shuffle == BITSHUFFLE:
+        flags |= 0x04
+    flags |= _COMPRESSOR_CODES[cname] << 5
+
+    blocks = []
+    for b in range(nblocks):
+        seg = raw[b * bs : min((b + 1) * bs, nbytes)].tobytes()
+        if flags & 0x01:
+            seg = byte_shuffle(seg, typesize)
+        elif flags & 0x04:
+            seg = bit_shuffle(seg, typesize)
+        comp = cctx.compress(seg)
+        if len(comp) >= len(seg):
+            blocks.append(struct.pack("<i", len(seg)) + seg)  # stored raw
+        else:
+            blocks.append(struct.pack("<i", len(comp)) + comp)
+
+    bstart_sz = 4 * nblocks
+    total = 16 + bstart_sz + sum(len(b) for b in blocks)
+    if total >= nbytes + 16:
+        # incompressible: memcpy frame
+        header = struct.pack(
+            "<BBBBIII", 2, 1, (flags & 0xF0) | 0x02, typesize, nbytes, bs, nbytes + 16
+        )
+        return header + raw.tobytes()
+
+    header = struct.pack("<BBBBIII", 2, 1, flags, typesize, nbytes, bs, total)
+    offsets = []
+    pos = 16 + bstart_sz
+    for b in blocks:
+        offsets.append(pos)
+        pos += len(b)
+    return header + struct.pack(f"<{nblocks}i", *offsets) + b"".join(blocks)
+
+
+def decompress_py(frame: bytes | memoryview) -> bytes:
+    frame = bytes(frame)
+    if len(frame) < 16:
+        raise ValueError("truncated blosc frame")
+    version, versionlz, flags, typesize, nbytes, blocksize, cbytes = struct.unpack(
+        "<BBBBIII", frame[:16]
+    )
+    if flags & 0x02:  # memcpyed
+        return frame[16 : 16 + nbytes]
+    code = (flags >> 5) & 0x07
+    if code == 4:
+        if _zstd is None:  # pragma: no cover
+            raise RuntimeError("zstandard module unavailable")
+        dctx = _zstd.ZstdDecompressor()
+        decomp = lambda b, hint: dctx.decompress(b, max_output_size=hint)
+    elif code == 3:
+        import zlib
+
+        decomp = lambda b, hint: zlib.decompress(b)
+    else:
+        raise NotImplementedError(f"blosc inner codec {code} not supported")
+
+    nblocks = max(1, -(-nbytes // blocksize)) if blocksize else 1
+    offsets = struct.unpack(f"<{nblocks}i", frame[16 : 16 + 4 * nblocks])
+    out = bytearray()
+    for b, off in enumerate(offsets):
+        neblock = min(blocksize, nbytes - b * blocksize)
+        (csize,) = struct.unpack("<i", frame[off : off + 4])
+        payload = frame[off + 4 : off + 4 + csize]
+        seg = bytes(payload) if csize == neblock else decomp(payload, neblock)
+        if flags & 0x01:
+            seg = byte_unshuffle(seg, typesize)
+        elif flags & 0x04:
+            seg = bit_unshuffle(seg, typesize)
+        out += seg
+    if len(out) != nbytes:
+        raise ValueError(f"blosc frame decoded {len(out)} bytes, expected {nbytes}")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Native C++ runtime backend (preferred)
+# ---------------------------------------------------------------------------
+
+_native = None
+
+
+def _load_native():
+    global _native
+    if _native is not None:
+        return _native
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    so = os.path.join(here, "csrc", "libdestripe_runtime.so")
+    if not os.path.exists(so):
+        _native = False
+        return False
+    lib = ctypes.CDLL(so)
+    lib.blosc1_compress.restype = ctypes.c_longlong
+    lib.blosc1_compress.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_size_t,
+    ]
+    lib.blosc1_decompress.restype = ctypes.c_longlong
+    lib.blosc1_decompress.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t,
+    ]
+    _native = lib
+    return lib
+
+
+def compress(
+    data,
+    typesize: int,
+    clevel: int = 3,
+    shuffle: int = SHUFFLE,
+    cname: str = "zstd",
+    blocksize: int = 0,
+) -> bytes:
+    """Encode one blosc1 frame (native backend when built, python otherwise)."""
+    lib = _load_native()
+    if lib and cname == "zstd":
+        if isinstance(data, np.ndarray):
+            data = data.tobytes()
+        else:
+            data = bytes(data)
+        dst = ctypes.create_string_buffer(len(data) + 16 + 4096)
+        n = lib.blosc1_compress(
+            data, len(data), typesize, clevel, shuffle, dst, len(dst)
+        )
+        if n > 0:
+            return dst.raw[:n]
+    return compress_py(data, typesize, clevel, shuffle, cname, blocksize)
+
+
+def decompress(frame, out: Optional[np.ndarray] = None) -> bytes:
+    """Decode one blosc1 frame."""
+    lib = _load_native()
+    if lib:
+        frame_b = bytes(frame)
+        nbytes = struct.unpack("<I", frame_b[4:8])[0]
+        code = (frame_b[2] >> 5) & 0x07
+        if code in (0, 4) or frame_b[2] & 0x02:
+            dst = ctypes.create_string_buffer(max(nbytes, 1))
+            n = lib.blosc1_decompress(frame_b, len(frame_b), dst, nbytes)
+            if n == nbytes:
+                return dst.raw[:nbytes]
+    return decompress_py(frame)
+
+
+# ---------------------------------------------------------------------------
+# System libblosc oracle (tests / reading foreign frames)
+# ---------------------------------------------------------------------------
+
+
+_libblosc = None
+
+
+def load_system_blosc():
+    """ctypes handle to the system c-blosc (interop oracle); None if absent."""
+    global _libblosc
+    if _libblosc is not None:
+        return _libblosc or None
+    path = ctypes.util.find_library("blosc") or "libblosc.so.1"
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        _libblosc = False
+        return None
+    lib.blosc_compress_ctx.restype = ctypes.c_int
+    lib.blosc_decompress_ctx.restype = ctypes.c_int
+    _libblosc = lib
+    return lib
+
+
+def system_compress(data: bytes, typesize: int, clevel=3, shuffle=SHUFFLE, cname="zstd"):
+    lib = load_system_blosc()
+    if lib is None:
+        raise RuntimeError("system libblosc unavailable")
+    dst = ctypes.create_string_buffer(len(data) + 1024)
+    n = lib.blosc_compress_ctx(
+        ctypes.c_int(clevel), ctypes.c_int(shuffle), ctypes.c_size_t(typesize),
+        ctypes.c_size_t(len(data)), data, dst, ctypes.c_size_t(len(dst)),
+        cname.encode(), ctypes.c_size_t(0), ctypes.c_int(1),
+    )
+    if n <= 0:
+        raise RuntimeError(f"libblosc compress failed: {n}")
+    return dst.raw[:n]
+
+
+def system_decompress(frame: bytes, nbytes: int) -> bytes:
+    lib = load_system_blosc()
+    if lib is None:
+        raise RuntimeError("system libblosc unavailable")
+    dst = ctypes.create_string_buffer(max(nbytes, 1))
+    n = lib.blosc_decompress_ctx(frame, dst, ctypes.c_size_t(nbytes), ctypes.c_int(1))
+    if n != nbytes:
+        raise RuntimeError(f"libblosc decompress returned {n}, expected {nbytes}")
+    return dst.raw[:nbytes]

@@ -1,0 +1,83 @@
+"""
+Blosc1 codec tests: round trips, shuffle filters, and bit-compatibility with
+the system c-blosc library (interop oracle) in both directions.
+"""
+
+import numpy as np
+import pytest
+
+from aind_smartspim_destripe_tpu.io import blosc
+
+
+def payloads():
+    rng = np.random.default_rng(0)
+    smooth = (
+        (1000 + 200 * np.sin(np.linspace(0, 40, 100_000))).astype(np.uint16)
+    ).tobytes()
+    noisy = rng.integers(0, 2**16, size=37_123, dtype=np.uint16).tobytes()
+    tiny = np.arange(5, dtype=np.uint16).tobytes()
+    empty_ish = b"\x00" * 1024
+    return {"smooth": smooth, "noisy": noisy, "tiny": tiny, "zeros": empty_ish}
+
+
+def test_byte_shuffle_roundtrip():
+    rng = np.random.default_rng(1)
+    for n, ts in [(1000, 2), (1001, 2), (4096, 4), (7, 8), (3, 2)]:
+        data = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+        sh = blosc.byte_shuffle(data, ts)
+        assert blosc.byte_unshuffle(sh, ts) == data
+
+
+def test_bit_shuffle_roundtrip():
+    rng = np.random.default_rng(2)
+    for n, ts in [(1024, 2), (1026, 2), (512, 4)]:
+        data = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+        sh = blosc.bit_shuffle(data, ts)
+        assert blosc.bit_unshuffle(sh, ts) == data
+
+
+@pytest.mark.parametrize("name", ["smooth", "noisy", "tiny", "zeros"])
+@pytest.mark.parametrize("shuffle", [blosc.NOSHUFFLE, blosc.SHUFFLE])
+def test_python_roundtrip(name, shuffle):
+    data = payloads()[name]
+    frame = blosc.compress_py(data, typesize=2, clevel=3, shuffle=shuffle)
+    assert blosc.decompress_py(frame) == data
+
+
+def test_compression_actually_compresses():
+    data = payloads()["smooth"]
+    frame = blosc.compress_py(data, typesize=2, clevel=3, shuffle=blosc.SHUFFLE)
+    assert len(frame) < len(data) / 2
+
+
+@pytest.mark.parametrize("name", ["smooth", "noisy", "zeros"])
+def test_system_blosc_decodes_our_frames(name):
+    """numcodecs/c-blosc must be able to read what we write (zarr interop)."""
+    if blosc.load_system_blosc() is None:
+        pytest.skip("system libblosc not present")
+    data = payloads()[name]
+    frame = blosc.compress_py(data, typesize=2, clevel=3, shuffle=blosc.SHUFFLE)
+    assert blosc.system_decompress(frame, len(data)) == data
+
+
+@pytest.mark.parametrize("shuffle", [blosc.NOSHUFFLE, blosc.SHUFFLE, blosc.BITSHUFFLE])
+def test_we_decode_system_blosc_frames(shuffle):
+    """SmartSPIM input tiles are written by c-blosc; we must read them."""
+    if blosc.load_system_blosc() is None:
+        pytest.skip("system libblosc not present")
+    data = payloads()["smooth"]
+    frame = blosc.system_compress(data, typesize=2, clevel=3, shuffle=shuffle)
+    assert blosc.decompress_py(frame) == data
+
+
+def test_default_backend_roundtrip():
+    data = payloads()["smooth"]
+    frame = blosc.compress(data, typesize=2)
+    assert blosc.decompress(frame) == data
+    if blosc.load_system_blosc() is not None:
+        assert blosc.system_decompress(frame, len(data)) == data
+
+
+def test_truncated_frame_raises():
+    with pytest.raises(ValueError):
+        blosc.decompress_py(b"\x02\x01")
