@@ -1,0 +1,442 @@
+"""
+Minimal Zarr v2 store (directory backend), replacing the reference's
+zarr-python dependency (zarr_destriper.py:1062-1074 creates the output store;
+the input SmartSPIM tiles are OME-Zarr v2 directories).
+
+Supports what the pipeline needs, bit-compatibly with zarr-python:
+- ``.zarray`` / ``.zgroup`` / ``.zattrs`` JSON metadata,
+- C-order chunks, "/" or "." dimension separators,
+- blosc (zstd, via the native codec in io/blosc.py), zlib, or raw chunks,
+- full-chunk padding at array edges (zarr v2 stores whole chunks),
+- numpy-style casting on assignment (float -> uint16 truncates like the
+  reference's ``output_destriped_zarr[...] = float_data``,
+  zarr_destriper.py:336),
+- thread-pooled chunk encode/decode (the native codec drops the GIL).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import zlib as _zlib
+from concurrent.futures import ThreadPoolExecutor
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import blosc as _blosc
+
+__all__ = ["BloscCodec", "ZlibCodec", "ZarrArray", "ZarrGroup", "open_zarr", "group"]
+
+_pool = ThreadPoolExecutor(max_workers=min(32, (os.cpu_count() or 4)))
+
+
+# ---------------------------------------------------------------------------
+# Codecs
+# ---------------------------------------------------------------------------
+
+
+class BloscCodec:
+    def __init__(self, cname="zstd", clevel=3, shuffle=_blosc.SHUFFLE, blocksize=0):
+        self.cname = cname
+        self.clevel = clevel
+        self.shuffle = shuffle
+        self.blocksize = blocksize
+
+    @property
+    def config(self):
+        return {
+            "id": "blosc",
+            "cname": self.cname,
+            "clevel": self.clevel,
+            "shuffle": self.shuffle,
+            "blocksize": self.blocksize,
+        }
+
+    def encode(self, data: bytes, typesize: int) -> bytes:
+        return _blosc.compress(
+            data, typesize, clevel=self.clevel, shuffle=self.shuffle,
+            cname=self.cname, blocksize=self.blocksize,
+        )
+
+    def decode(self, data: bytes) -> bytes:
+        return _blosc.decompress(data)
+
+
+class ZlibCodec:
+    def __init__(self, level=1):
+        self.level = level
+
+    @property
+    def config(self):
+        return {"id": "zlib", "level": self.level}
+
+    def encode(self, data: bytes, typesize: int) -> bytes:
+        return _zlib.compress(data, self.level)
+
+    def decode(self, data: bytes) -> bytes:
+        return _zlib.decompress(data)
+
+
+class RawCodec:
+    config = None
+
+    def encode(self, data: bytes, typesize: int) -> bytes:
+        return data
+
+    def decode(self, data: bytes) -> bytes:
+        return data
+
+
+def codec_from_config(cfg: Optional[dict]):
+    if cfg is None:
+        return RawCodec()
+    cid = cfg.get("id")
+    if cid == "blosc":
+        return BloscCodec(
+            cname=cfg.get("cname", "zstd"),
+            clevel=cfg.get("clevel", 3),
+            shuffle=cfg.get("shuffle", _blosc.SHUFFLE),
+            blocksize=cfg.get("blocksize", 0),
+        )
+    if cid == "zlib":
+        return ZlibCodec(level=cfg.get("level", 1))
+    raise NotImplementedError(f"compressor {cid!r} not supported")
+
+
+# ---------------------------------------------------------------------------
+# Attributes (.zattrs)
+# ---------------------------------------------------------------------------
+
+
+class Attributes(dict):
+    """Dict persisted to ``.zattrs`` on mutation (small metadata only)."""
+
+    def __init__(self, path: str):
+        self._path = os.path.join(path, ".zattrs")
+        if os.path.exists(self._path):
+            with open(self._path) as f:
+                super().__init__(json.load(f))
+        else:
+            super().__init__()
+
+    def _flush(self):
+        with open(self._path, "w") as f:
+            json.dump(dict(self), f, indent=2)
+
+    def __setitem__(self, k, v):
+        super().__setitem__(k, v)
+        self._flush()
+
+    def update(self, *a, **k):
+        super().update(*a, **k)
+        self._flush()
+
+    def __delitem__(self, k):
+        super().__delitem__(k)
+        self._flush()
+
+
+# ---------------------------------------------------------------------------
+# Array
+# ---------------------------------------------------------------------------
+
+
+def _normalize_selection(key, shape) -> Tuple[Tuple[int, int], ...]:
+    """Normalize an index (ints / step-1 slices / Ellipsis) into per-dim
+    (start, stop) plus the positions of integer axes (dropped in the result).
+    """
+    if not isinstance(key, tuple):
+        key = (key,)
+    if Ellipsis in key:
+        i = key.index(Ellipsis)
+        fill = len(shape) - (len(key) - 1)
+        key = key[:i] + (slice(None),) * fill + key[i + 1 :]
+    key = key + (slice(None),) * (len(shape) - len(key))
+    if len(key) != len(shape):
+        raise IndexError(f"too many indices for {len(shape)}-d array")
+    bounds, int_axes = [], []
+    for d, (k, n) in enumerate(zip(key, shape)):
+        if isinstance(k, (int, np.integer)):
+            k = int(k)
+            if k < 0:
+                k += n
+            if not 0 <= k < n:
+                raise IndexError(f"index {k} out of bounds for axis {d} ({n})")
+            bounds.append((k, k + 1))
+            int_axes.append(d)
+        elif isinstance(k, slice):
+            if k.step not in (None, 1):
+                raise NotImplementedError("strided slicing not supported")
+            start, stop, _ = k.indices(n)
+            bounds.append((start, max(start, stop)))
+        else:
+            raise TypeError(f"unsupported index: {k!r}")
+    return tuple(bounds), tuple(int_axes)
+
+
+class ZarrArray:
+    def __init__(self, path: str):
+        self.path = path
+        with open(os.path.join(path, ".zarray")) as f:
+            meta = json.load(f)
+        if meta.get("zarr_format") != 2:
+            raise ValueError("only zarr v2 arrays supported")
+        if meta.get("order", "C") != "C":
+            raise NotImplementedError("only C-order arrays supported")
+        if meta.get("filters"):
+            raise NotImplementedError("filters not supported")
+        self.meta = meta
+        self.shape = tuple(meta["shape"])
+        self.chunks = tuple(meta["chunks"])
+        self.dtype = np.dtype(meta["dtype"])
+        self.fill_value = meta.get("fill_value", 0)
+        self.separator = meta.get("dimension_separator", ".")
+        self.codec = codec_from_config(meta.get("compressor"))
+        self.attrs = Attributes(path)
+
+    # -- creation ----------------------------------------------------------
+
+    @staticmethod
+    def create(
+        path: str,
+        shape: Sequence[int],
+        chunks: Sequence[int],
+        dtype,
+        compressor: Optional[object] = "default",
+        fill_value=0,
+        dimension_separator: str = "/",
+        overwrite: bool = False,
+    ) -> "ZarrArray":
+        if os.path.exists(path):
+            if not overwrite and os.path.exists(os.path.join(path, ".zarray")):
+                raise FileExistsError(path)
+            if overwrite:
+                shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        if compressor == "default":
+            compressor = BloscCodec()
+        dtype = np.dtype(dtype)
+        meta = {
+            "zarr_format": 2,
+            "shape": list(map(int, shape)),
+            "chunks": list(map(int, chunks)),
+            "dtype": dtype.str,
+            "compressor": compressor.config if compressor is not None else None,
+            "fill_value": fill_value,
+            "order": "C",
+            "filters": None,
+            "dimension_separator": dimension_separator,
+        }
+        with open(os.path.join(path, ".zarray"), "w") as f:
+            json.dump(meta, f, indent=2)
+        return ZarrArray(path)
+
+    @staticmethod
+    def open(path: str) -> "ZarrArray":
+        return ZarrArray(path)
+
+    # -- basic props -------------------------------------------------------
+
+    @property
+    def ndim(self):
+        return len(self.shape)
+
+    @property
+    def itemsize(self):
+        return self.dtype.itemsize
+
+    @property
+    def nbytes(self):
+        return int(np.prod(self.shape)) * self.itemsize
+
+    @property
+    def cdata_shape(self):
+        return tuple(-(-s // c) for s, c in zip(self.shape, self.chunks))
+
+    def __repr__(self):
+        return f"<ZarrArray {self.shape} {self.dtype} chunks={self.chunks} at {self.path}>"
+
+    # -- chunk IO ----------------------------------------------------------
+
+    def _chunk_path(self, cidx: Tuple[int, ...]) -> str:
+        key = self.separator.join(str(i) for i in cidx)
+        return os.path.join(self.path, key)
+
+    def read_chunk(self, cidx: Tuple[int, ...]) -> np.ndarray:
+        """Decode one chunk (full chunk shape; missing -> fill_value)."""
+        p = self._chunk_path(cidx)
+        if not os.path.exists(p):
+            return np.full(self.chunks, self.fill_value, dtype=self.dtype)
+        with open(p, "rb") as f:
+            raw = f.read()
+        buf = self.codec.decode(raw)
+        return np.frombuffer(buf, dtype=self.dtype).reshape(self.chunks).copy()
+
+    def write_chunk(self, cidx: Tuple[int, ...], data: np.ndarray):
+        """Encode one full-shape chunk."""
+        assert data.shape == self.chunks, (data.shape, self.chunks)
+        buf = np.ascontiguousarray(data, dtype=self.dtype)
+        frame = self.codec.encode(buf.tobytes(), self.itemsize)
+        p = self._chunk_path(cidx)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".partial"
+        with open(tmp, "wb") as f:
+            f.write(frame)
+        os.replace(tmp, p)
+
+    def _chunk_range(self, bounds):
+        return [
+            range(lo // c, -(-hi // c)) if hi > lo else range(0)
+            for (lo, hi), c in zip(bounds, self.chunks)
+        ]
+
+    # -- slicing -----------------------------------------------------------
+
+    def __getitem__(self, key) -> np.ndarray:
+        bounds, int_axes = _normalize_selection(key, self.shape)
+        out_shape = tuple(hi - lo for lo, hi in bounds)
+        out = np.empty(out_shape, dtype=self.dtype)
+        if 0 in out_shape:
+            return out.squeeze(axis=int_axes) if int_axes else out
+
+        ranges = self._chunk_range(bounds)
+        tasks = [
+            tuple(r[i] for r, i in zip(ranges, cidx))
+            for cidx in np.ndindex(*[len(r) for r in ranges])
+        ]
+
+        def fetch(cid):
+            chunk = self.read_chunk(cid)
+            src_sel, dst_sel = [], []
+            for d, ((lo, hi), c) in enumerate(zip(bounds, self.chunks)):
+                c0 = cid[d] * c
+                s_lo = max(lo, c0)
+                s_hi = min(hi, c0 + c)
+                src_sel.append(slice(s_lo - c0, s_hi - c0))
+                dst_sel.append(slice(s_lo - lo, s_hi - lo))
+            out[tuple(dst_sel)] = chunk[tuple(src_sel)]
+
+        list(_pool.map(fetch, tasks))
+        return out.squeeze(axis=int_axes) if int_axes else out
+
+    def __setitem__(self, key, value):
+        bounds, int_axes = _normalize_selection(key, self.shape)
+        sel_shape = tuple(hi - lo for lo, hi in bounds)
+        value = np.asarray(value)
+        # numpy-style cast (float -> uint16 truncates/wraps, like zarr)
+        value = np.broadcast_to(value.astype(self.dtype, copy=False), sel_shape)
+
+        ranges = self._chunk_range(bounds)
+        tasks = [
+            tuple(r[i] for r, i in zip(ranges, cidx))
+            for cidx in np.ndindex(*[len(r) for r in ranges])
+        ]
+
+        def put(cid):
+            src_sel, dst_sel, full = [], [], True
+            for d, ((lo, hi), c, n) in enumerate(
+                zip(bounds, self.chunks, self.shape)
+            ):
+                c0 = cid[d] * c
+                s_lo = max(lo, c0)
+                s_hi = min(hi, c0 + c)
+                src_sel.append(slice(s_lo - lo, s_hi - lo))
+                dst_sel.append(slice(s_lo - c0, s_hi - c0))
+                covered = s_hi - s_lo
+                if covered < min(c, n - c0):
+                    full = False
+            if full:
+                chunk = np.full(self.chunks, self.fill_value, dtype=self.dtype)
+            else:
+                chunk = self.read_chunk(cid)
+            chunk[tuple(dst_sel)] = value[tuple(src_sel)]
+            self.write_chunk(cid, chunk)
+
+        list(_pool.map(put, tasks))
+
+
+# ---------------------------------------------------------------------------
+# Group
+# ---------------------------------------------------------------------------
+
+
+class ZarrGroup:
+    def __init__(self, path: str, create: bool = False):
+        self.path = path
+        zgroup = os.path.join(path, ".zgroup")
+        if create:
+            os.makedirs(path, exist_ok=True)
+            if not os.path.exists(zgroup):
+                with open(zgroup, "w") as f:
+                    json.dump({"zarr_format": 2}, f)
+        elif not os.path.exists(zgroup):
+            raise FileNotFoundError(zgroup)
+        self.attrs = Attributes(path)
+
+    def create_group(self, name: str, overwrite: bool = False) -> "ZarrGroup":
+        p = os.path.join(self.path, str(name))
+        if overwrite and os.path.exists(p):
+            shutil.rmtree(p)
+        return ZarrGroup(p, create=True)
+
+    def create_dataset(
+        self,
+        name,
+        shape,
+        chunks,
+        dtype,
+        compressor="default",
+        dimension_separator: str = "/",
+        overwrite: bool = False,
+        fill_value=0,
+    ) -> ZarrArray:
+        return ZarrArray.create(
+            os.path.join(self.path, str(name)),
+            shape=shape,
+            chunks=chunks,
+            dtype=dtype,
+            compressor=compressor,
+            fill_value=fill_value,
+            dimension_separator=dimension_separator,
+            overwrite=overwrite,
+        )
+
+    def __getitem__(self, name):
+        p = os.path.join(self.path, str(name))
+        if os.path.exists(os.path.join(p, ".zarray")):
+            return ZarrArray(p)
+        if os.path.exists(os.path.join(p, ".zgroup")):
+            return ZarrGroup(p)
+        raise KeyError(name)
+
+    def __contains__(self, name):
+        p = os.path.join(self.path, str(name))
+        return os.path.exists(os.path.join(p, ".zarray")) or os.path.exists(
+            os.path.join(p, ".zgroup")
+        )
+
+    def keys(self):
+        if not os.path.isdir(self.path):
+            return
+        for entry in sorted(os.listdir(self.path)):
+            p = os.path.join(self.path, entry)
+            if os.path.exists(os.path.join(p, ".zarray")) or os.path.exists(
+                os.path.join(p, ".zgroup")
+            ):
+                yield entry
+
+
+def group(path: str) -> ZarrGroup:
+    """Create-or-open a group (zarr.group analog)."""
+    return ZarrGroup(path, create=True)
+
+
+def open_zarr(path: str):
+    """Open an array or group at ``path``."""
+    if os.path.exists(os.path.join(path, ".zarray")):
+        return ZarrArray(path)
+    if os.path.exists(os.path.join(path, ".zgroup")):
+        return ZarrGroup(path)
+    raise FileNotFoundError(f"no zarr array/group at {path}")

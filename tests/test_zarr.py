@@ -1,0 +1,136 @@
+"""
+Zarr v2 store tests: metadata layout, chunk round trips, slicing semantics,
+the float->uint16 cast-on-assignment behavior the production pipeline relies
+on, and group trees matching the reference output layout.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from aind_smartspim_destripe_tpu.io import blosc
+from aind_smartspim_destripe_tpu.io.zarr import (
+    BloscCodec,
+    ZarrArray,
+    ZarrGroup,
+    group,
+    open_zarr,
+)
+
+
+def test_create_and_metadata(tmp_path):
+    p = str(tmp_path / "a.zarr")
+    arr = ZarrArray.create(p, shape=(10, 20), chunks=(4, 8), dtype=np.uint16)
+    meta = json.load(open(os.path.join(p, ".zarray")))
+    assert meta["zarr_format"] == 2
+    assert meta["dtype"] == "<u2"
+    assert meta["compressor"]["id"] == "blosc"
+    assert meta["compressor"]["cname"] == "zstd"
+    assert meta["dimension_separator"] == "/"
+    assert arr.cdata_shape == (3, 3)
+
+
+def test_roundtrip_exact(tmp_path):
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 2**16, size=(33, 57), dtype=np.uint16)
+    arr = ZarrArray.create(str(tmp_path / "a"), (33, 57), (8, 16), np.uint16)
+    arr[:, :] = data
+    np.testing.assert_array_equal(arr[:, :], data)
+    np.testing.assert_array_equal(arr[5:20, 10:43], data[5:20, 10:43])
+    np.testing.assert_array_equal(arr[7], data[7])
+    assert arr[3, 4] == data[3, 4]
+
+
+def test_5d_production_layout(tmp_path):
+    """The production output geometry: (1,1,Z,Y,X) with chunks (1,1,64,128,128)
+    and '/' separators (zarr_destriper.py:1066-1074)."""
+    arr = ZarrArray.create(
+        str(tmp_path / "t.zarr" / "0"),
+        shape=(1, 1, 70, 150, 200),
+        chunks=(1, 1, 64, 128, 128),
+        dtype=np.uint16,
+    )
+    block = np.arange(70 * 150 * 200, dtype=np.uint16).reshape(1, 1, 70, 150, 200)
+    arr[:, :, :, :, :] = block
+    np.testing.assert_array_equal(arr[0, 0, 10:20, 100:140, 50:199], block[0, 0, 10:20, 100:140, 50:199])
+    # chunk files live at nested "/" keys
+    assert os.path.exists(str(tmp_path / "t.zarr" / "0" / "0" / "0" / "0" / "0" / "0"))
+    assert os.path.exists(str(tmp_path / "t.zarr" / "0" / "0" / "0" / "1" / "1" / "1"))
+
+
+def test_float_assignment_casts_like_zarr(tmp_path):
+    """zarr casts on assignment with astype semantics; the reference writes
+    the float array directly (zarr_destriper.py:336)."""
+    arr = ZarrArray.create(str(tmp_path / "c"), (2, 2), (2, 2), np.uint16)
+    arr[:, :] = np.array([[1.9, 100.7], [65535.2, 0.0]], dtype=np.float32)
+    got = arr[:, :]
+    np.testing.assert_array_equal(got, np.array([[1, 100], [65535, 0]], np.uint16))
+
+
+def test_missing_chunks_fill_value(tmp_path):
+    arr = ZarrArray.create(str(tmp_path / "f"), (8, 8), (4, 4), np.uint16, fill_value=7)
+    arr[0:4, 0:4] = np.ones((4, 4), np.uint16)
+    out = arr[:, :]
+    assert (out[:4, :4] == 1).all()
+    assert (out[4:, 4:] == 7).all()
+
+
+def test_partial_chunk_read_modify_write(tmp_path):
+    arr = ZarrArray.create(str(tmp_path / "p"), (8,), (5,), np.int32)
+    arr[:] = np.arange(8, dtype=np.int32)
+    arr[2:4] = np.array([100, 200], np.int32)
+    np.testing.assert_array_equal(arr[:], [0, 1, 100, 200, 4, 5, 6, 7])
+
+
+def test_group_tree_and_reopen(tmp_path):
+    root = group(str(tmp_path / "root"))
+    ch = root.create_group("Ex_488_Em_525")
+    tile = ch.create_group("471320_461360.zarr")
+    lvl0 = tile.create_dataset(
+        0, shape=(1, 1, 16, 32, 32), chunks=(1, 1, 8, 16, 16), dtype=np.uint16
+    )
+    lvl0[:] = np.ones((1, 1, 16, 32, 32), np.uint16)
+    tile.attrs["multiscales"] = [{"version": "0.4"}]
+
+    reopened = open_zarr(str(tmp_path / "root"))
+    assert isinstance(reopened, ZarrGroup)
+    t = reopened["Ex_488_Em_525"]["471320_461360.zarr"]
+    assert t.attrs["multiscales"][0]["version"] == "0.4"
+    assert list(t.keys()) == ["0"]
+    np.testing.assert_array_equal(t["0"][0, 0, 3], np.ones((32, 32), np.uint16))
+
+
+def test_overwrite_semantics(tmp_path):
+    p = str(tmp_path / "o")
+    ZarrArray.create(p, (4,), (2,), np.uint16)
+    with pytest.raises(FileExistsError):
+        ZarrArray.create(p, (4,), (2,), np.uint16)
+    ZarrArray.create(p, (6,), (2,), np.uint16, overwrite=True)
+    assert ZarrArray.open(p).shape == (6,)
+
+
+@pytest.mark.skipif(blosc.load_system_blosc() is None, reason="no system blosc")
+def test_chunks_decodable_by_c_blosc(tmp_path):
+    """Every chunk file we write must be a frame c-blosc (and hence
+    zarr-python/numcodecs) can decode."""
+    arr = ZarrArray.create(str(tmp_path / "i"), (64, 64), (32, 32), np.uint16)
+    data = (np.arange(64 * 64, dtype=np.uint16)).reshape(64, 64)
+    arr[:, :] = data
+    raw = open(str(tmp_path / "i" / "0" / "0"), "rb").read()
+    decoded = blosc.system_decompress(raw, 32 * 32 * 2)
+    np.testing.assert_array_equal(
+        np.frombuffer(decoded, np.uint16).reshape(32, 32), data[:32, :32]
+    )
+
+
+def test_zlib_codec_roundtrip(tmp_path):
+    from aind_smartspim_destripe_tpu.io.zarr import ZlibCodec
+
+    arr = ZarrArray.create(
+        str(tmp_path / "z"), (16, 16), (8, 8), np.uint16, compressor=ZlibCodec(1)
+    )
+    data = np.arange(256, dtype=np.uint16).reshape(16, 16)
+    arr[:, :] = data
+    np.testing.assert_array_equal(ZarrArray.open(str(tmp_path / "z"))[:, :], data)
