@@ -1,0 +1,133 @@
+"""
+Dual-band wavelet-FFT destripe (BASELINE config 2).
+
+The reference README describes a "dual-band" mode (README.md:7-8) whose code
+survives only as vestigial helpers (``foreground_fraction``,
+filtering.py:25-51) — the shipped pipeline applies a single log-space filter.
+This module builds the dual-band variant from those vestiges, following the
+pystripe lineage the helpers come from: filter the plane twice with a
+foreground sigma and a background sigma, then blend per pixel by a smoothed
+sigmoid foreground fraction, so bright structure (cells) gets the gentler
+notch and background gets the aggressive one.
+
+TPU-native: both bands share one wavelet decomposition batch; the blend is a
+fused elementwise op.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .filter import FilterConfig, build_plan, destripe_batch, device_constants
+from .otsu import threshold_otsu
+
+__all__ = ["dual_band_destripe_batch", "dual_band_filtering"]
+
+
+def _smooth(img: jax.Array, radius: int = 8) -> jax.Array:
+    """Separable box smoothing of the blend mask (cheap, fused)."""
+    if radius <= 0:
+        return img
+    k = 2 * radius + 1
+
+    def blur_axis(x, axis):
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (radius, radius)
+        xp = jnp.pad(x, pad, mode="edge")
+        c = jnp.cumsum(xp, axis=axis)
+        lead = jnp.take(c, jnp.arange(k - 1, xp.shape[axis]), axis=axis)
+        lag = jnp.concatenate(
+            [
+                jnp.zeros_like(jnp.take(c, jnp.arange(1), axis=axis)),
+                jnp.take(c, jnp.arange(0, xp.shape[axis] - k), axis=axis),
+            ],
+            axis=axis,
+        )
+        return (lead - lag) / k
+
+    return blur_axis(blur_axis(img, -1), -2)
+
+
+def dual_band_destripe_batch(
+    plan_fore,
+    plan_back,
+    images: jax.Array,
+    crossover: float = 100.0,
+    threshold: float = -1.0,
+    smooth_radius: int = 8,
+    consts_fore=None,
+    consts_back=None,
+) -> jax.Array:
+    """Blend two destripe bands per pixel.
+
+    - ``plan_fore``: gentle config for bright structure (e.g. sigma=256),
+    - ``plan_back``: aggressive config for background (e.g. sigma=64),
+    - ``threshold``: sigmoid center; < 0 means per-plane Otsu,
+    - ``crossover``: sigmoid width (reference foreground_fraction semantics).
+    """
+    x = images.astype(jnp.float32)
+    fore = destripe_batch(plan_fore, x, -jnp.inf, consts_fore)
+    back = destripe_batch(plan_back, x, -jnp.inf, consts_back)
+
+    if threshold < 0:
+        centers = jax.vmap(threshold_otsu)(x)[:, None, None]
+    else:
+        centers = jnp.full((x.shape[0], 1, 1), threshold, x.dtype)
+
+    frac = 1.0 / (1.0 + jnp.exp(-(x - centers) / crossover))
+    frac = _smooth(frac, smooth_radius)
+    return fore * frac + back * (1.0 - frac)
+
+
+@lru_cache(maxsize=8)
+def _dual_plans(h, w, wavelet, level, sigma_fore, sigma_back, max_threshold):
+    cfg_f = FilterConfig(wavelet=wavelet, level=level, sigma=sigma_fore,
+                         max_threshold=max_threshold)
+    cfg_b = FilterConfig(wavelet=wavelet, level=level, sigma=sigma_back,
+                         max_threshold=max_threshold)
+    return build_plan(h, w, cfg_f, cfg_f), build_plan(h, w, cfg_b, cfg_b)
+
+
+@partial(jax.jit, static_argnums=(0, 1), static_argnames=("smooth_radius",))
+def _jitted_dual(plan_f, plan_b, images, crossover, threshold, cf, cb,
+                 smooth_radius=8):
+    return dual_band_destripe_batch(
+        plan_f, plan_b, images, crossover, threshold, smooth_radius, cf, cb
+    )
+
+
+def dual_band_filtering(
+    input_image: np.ndarray,
+    sigma: Tuple[float, float] = (256.0, 128.0),
+    wavelet: str = "db3",
+    level: Optional[int] = None,
+    max_threshold: float = 12.0,
+    crossover: float = 100.0,
+    threshold: float = -1.0,
+) -> np.ndarray:
+    """Host convenience wrapper: one plane or a (B, H, W) batch."""
+    img = np.asarray(input_image)
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[None]
+    h, w = img.shape[-2:]
+    plan_f, plan_b = _dual_plans(
+        h, w, wavelet, level, float(sigma[0]), float(sigma[1]), float(max_threshold)
+    )
+    out = np.asarray(
+        _jitted_dual(
+            plan_f,
+            plan_b,
+            jnp.asarray(img.astype(np.float32)),
+            float(crossover),
+            float(threshold),
+            device_constants(plan_f),
+            device_constants(plan_b),
+        )
+    )
+    return out[0] if squeeze else out

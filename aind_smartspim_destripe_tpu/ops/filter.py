@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import fft_notch
+from . import wavelets
 from .otsu import threshold_otsu
 from .wavelets import wavedec2, wavedec2_shapes, waverec2, wavelet
 
@@ -97,6 +98,30 @@ class DestripePlan:
                 )
             mats.append(tuple(pair))
         return tuple(mats)
+
+    def constants(self):
+        """All large operator matrices as a pytree of numpy arrays, meant to
+        be passed INTO a jitted kernel (device-resident) rather than baked
+        into the graph — multi-MB HLO literal constants stall XLA's
+        compiler. Keys: analysis (finest-first, matching wavedec2 order),
+        synthesis (coarsest-first, matching waverec2 order), notch
+        (coarsest-first, (cells, no_cells) pairs)."""
+        wav = wavelets.wavelet(self.wavelet)
+        return {
+            "analysis": tuple(
+                tuple(p)
+                for p in wavelets.analysis_operators(
+                    (self.height, self.width), wav, self.n_levels
+                )
+            ),
+            "synthesis": tuple(
+                tuple(p)
+                for p in wavelets.synthesis_operators(
+                    (self.height, self.width), wav, self.n_levels
+                )
+            ),
+            "notch": self.notch_matrices(),
+        }
 
 
 @lru_cache(maxsize=32)
@@ -196,9 +221,12 @@ def destripe_batch(
     plan: DestripePlan,
     images: jax.Array,  # (B, H, W) float32 (or integer; cast internally)
     microscope_high_int: float = 2700.0,
+    consts=None,
 ) -> jax.Array:
     """log-space wavelet-FFT destripe of a batch of planes; returns float32
-    of the same shape. Jit with ``plan`` static (it is hashable)."""
+    of the same shape. Jit with ``plan`` static (it is hashable) and, for
+    production geometries, pass ``consts=plan.constants()`` as a device
+    argument so the operator matrices stay out of the compiled graph."""
     x = images.astype(jnp.float32)
     is_cells = classify_planes(x, microscope_high_int)
 
@@ -209,12 +237,13 @@ def destripe_batch(
         return jnp.exp(xlog) + 1.0
 
     wav = wavelet(plan.wavelet)
-    coeffs = wavedec2(xlog, wav, plan.n_levels)
+    if consts is None:
+        consts = plan.constants()
+    coeffs = wavedec2(xlog, wav, plan.n_levels, operators=consts["analysis"])
     approx, details = coeffs[0], coeffs[1:]
 
-    mats = plan.notch_matrices()
     filtered = [approx]
-    for (ch, cv, cd), (bm_c, bm_n) in zip(details, mats):
+    for (ch, cv, cd), (bm_c, bm_n) in zip(details, consts["notch"]):
         ch_f = _filter_level(
             ch,
             is_cells,
@@ -225,7 +254,7 @@ def destripe_batch(
         )
         filtered.append((ch_f, cv, cd))
 
-    y = waverec2(filtered, wav)
+    y = waverec2(filtered, wav, operators=consts["synthesis"])
     y = y[..., : plan.height, : plan.width]
     return jnp.exp(y) + 1.0
 
@@ -254,11 +283,19 @@ def log_space_fft_filtering(
     cfg = FilterConfig(wavelet=wavelet, level=level, sigma=float(sigma),
                        max_threshold=float(max_threshold))
     plan = build_plan(img.shape[-2], img.shape[-1], cfg, cfg)
-    out = _jitted_destripe(plan, jnp.asarray(img.astype(np.float32)), -np.inf)
+    out = _jitted_destripe(
+        plan, jnp.asarray(img.astype(np.float32)), -np.inf, device_constants(plan)
+    )
     out = np.asarray(out)
     return out[0] if squeeze else out
 
 
-@partial(jax.jit, static_argnums=(0,), static_argnames=("microscope_high_int",))
-def _jitted_destripe(plan, images, microscope_high_int):
-    return destripe_batch(plan, images, microscope_high_int)
+@lru_cache(maxsize=8)
+def device_constants(plan: DestripePlan):
+    """Device-resident operator matrices for a plan (cached)."""
+    return jax.device_put(plan.constants())
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _jitted_destripe(plan, images, microscope_high_int, consts):
+    return destripe_batch(plan, images, microscope_high_int, consts)

@@ -102,8 +102,8 @@ def flatfield_correction(
     reference (filtering.py:377).
     """
     img = jnp.asarray(image_tiles)
-    flat = jnp.asarray(np.asarray(flatfield))
-    dark = jnp.asarray(np.asarray(darkfield))
+    flat = jnp.asarray(flatfield)
+    dark = jnp.asarray(darkfield)
 
     h, w = img.shape[-2:]
     dark = dark[..., :h, :w]

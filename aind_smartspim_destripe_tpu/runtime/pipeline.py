@@ -1,0 +1,293 @@
+"""
+Streaming destripe pipeline: Zarr slabs -> device batches -> Zarr, overlapped.
+
+TPU-native replacement for the reference's producer/consumer process pool
+(zarr_destriper.py:797-906, 1132-1172) and its external shared-memory data
+loader (SURVEY.md L1b). One process, three overlapped stages:
+
+  [reader threads]  decode input Zarr chunks for slab k+1..k+prefetch
+        |           (native blosc codec drops the GIL -> real parallelism)
+  [device]          destripe+flatfield jit on fixed-size plane batches;
+        |           uint16 in / uint16 out so PCIe traffic is halved, with
+        |           JAX async dispatch double-buffering H2D/compute/D2H
+  [writer threads]  encode+write level-0 chunks for slab k-1
+
+The Z slab (default 64 planes) matches the reference's prediction chunk
+(zarr_destriper.py:1256), so level-0 writes are chunk-aligned and race-free.
+
+Adds what the reference lacks (SURVEY.md section 5 "Checkpoint / resume"): a
+per-slab commit journal in the output store, so an interrupted run resumes
+instead of recomputing the tile.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from collections import deque
+from concurrent.futures import Future, ThreadPoolExecutor
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.filter import DestripePlan, destripe_batch
+from ..ops.flatfield import flatfield_correction
+
+__all__ = ["PipelineStats", "StreamingDestriper", "make_device_step"]
+
+
+@dataclass
+class PipelineStats:
+    planes: int = 0
+    slabs: int = 0
+    slabs_skipped: int = 0
+    read_s: float = 0.0
+    compute_s: float = 0.0
+    write_s: float = 0.0
+    wall_s: float = 0.0
+    pixels: int = 0
+
+    @property
+    def gpix_per_s(self) -> float:
+        return self.pixels / self.wall_s / 1e9 if self.wall_s else 0.0
+
+
+def make_device_step(plan: DestripePlan, microscope_high_int: float,
+                     with_flatfield: bool):
+    """Jitted (batch,H,W) uint16 -> uint16 device step: destripe then (when
+    flats are provided) shadow-correct; otherwise a zarr-style wrap cast,
+    matching the reference's float write into a uint16 store
+    (zarr_destriper.py:336). The operator matrices live on device and enter
+    the kernel as arguments (baking them into the graph as literals stalls
+    the XLA compiler)."""
+
+    consts = jax.device_put(plan.constants())
+
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+    def step(plan, images, flat, dark, consts):
+        filtered = destripe_batch(plan, images, microscope_high_int, consts)
+        if with_flatfield:
+            return flatfield_correction(filtered, flat, dark)
+        return filtered.astype(jnp.uint16)
+
+    return lambda images, flat, dark: step(plan, images, flat, dark, consts)
+
+
+class _Journal:
+    """Per-slab commit log enabling cheap resume (one JSON file in the output
+    store; a slab is recomputed unless its exact geometry was committed)."""
+
+    def __init__(self, path: str, meta: dict):
+        self.path = path
+        self.meta = meta
+        self.done = set()
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    state = json.load(f)
+                if state.get("meta") == meta:
+                    self.done = set(map(tuple, state.get("slabs", [])))
+            except (json.JSONDecodeError, OSError):
+                pass
+
+    def commit(self, slab: tuple):
+        self.done.add(slab)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"meta": self.meta, "slabs": sorted(self.done)}, f)
+        os.replace(tmp, self.path)
+
+
+class StreamingDestriper:
+    """Drive one tile (3-D or 5-D Zarr array) through the device pipeline.
+
+    Parameters mirror the knobs of the reference streaming path: ``slab``
+    plays the role of prediction_chunksize's Z extent, ``prefetch`` the
+    producer queue depth, ``device_batch`` the per-dispatch plane count.
+    """
+
+    def __init__(
+        self,
+        input_array,
+        output_array,
+        plan: DestripePlan,
+        flatfield: Optional[np.ndarray] = None,
+        darkfield: Optional[np.ndarray] = None,
+        microscope_high_int: float = 2500.0,
+        slab: int = 64,
+        device_batch: int = 8,
+        prefetch: int = 2,
+        io_threads: int = 0,
+        logger: Optional[logging.Logger] = None,
+        journal: bool = True,
+    ):
+        self.inp = input_array
+        self.out = output_array
+        self.plan = plan
+        self.high_int = microscope_high_int
+        self.slab = slab
+        self.device_batch = device_batch
+        self.prefetch = max(1, prefetch)
+        self.logger = logger or logging.getLogger(__name__)
+        self.io = ThreadPoolExecutor(
+            max_workers=io_threads or min(16, (os.cpu_count() or 4))
+        )
+
+        in_shape = tuple(input_array.shape)
+        if len(in_shape) == 5:
+            self._lead = (0, 0)
+            self.zyx = in_shape[2:]
+        elif len(in_shape) == 3:
+            self._lead = ()
+            self.zyx = in_shape
+        else:
+            raise ValueError(f"expected 3-D or 5-D input, got {in_shape}")
+        if self.zyx[1:] != (plan.height, plan.width):
+            raise ValueError(
+                f"plan geometry {(plan.height, plan.width)} != data {self.zyx[1:]}"
+            )
+
+        self.with_flat = flatfield is not None
+        h, w = plan.height, plan.width
+        flat = np.asarray(flatfield, np.float32) if self.with_flat else np.ones((1, 1), np.float32)
+        if self.with_flat and darkfield is not None:
+            dark = np.asarray(darkfield, np.float32)[:h, :w]
+        else:
+            dark = np.zeros((1, 1), np.float32)
+        if self.with_flat:
+            if flat.shape[-2:] != (h, w):
+                raise ValueError(f"flatfield shape {flat.shape} != plane {(h, w)}")
+            if dark.shape[-2:] != (h, w):
+                dark = np.broadcast_to(dark, (h, w)).copy()
+        self._flat = jax.device_put(flat)
+        self._dark = jax.device_put(dark)
+        self._step = make_device_step(plan, microscope_high_int, self.with_flat)
+
+        meta = {
+            "slab": slab,
+            "zyx": list(self.zyx),
+            "cells": str(plan.cells),
+            "no_cells": str(plan.no_cells),
+            "high_int": microscope_high_int,
+            "with_flat": self.with_flat,
+        }
+        self.journal = (
+            _Journal(
+                os.path.join(
+                    getattr(output_array, "path", "."), ".destripe_journal.json"
+                ),
+                meta,
+            )
+            if journal and hasattr(output_array, "path")
+            else None
+        )
+
+    # -- IO helpers --------------------------------------------------------
+
+    def _read_slab(self, z0: int, z1: int) -> np.ndarray:
+        if self._lead:
+            return np.asarray(self.inp[0, 0, z0:z1])
+        return np.asarray(self.inp[z0:z1])
+
+    def _write_slab(self, z0: int, z1: int, data: np.ndarray):
+        if len(self.out.shape) == 5:
+            self.out[0:1, 0:1, z0:z1] = data[None, None]
+        else:
+            self.out[z0:z1] = data
+
+    # -- device ------------------------------------------------------------
+
+    def _process_slab(self, data: np.ndarray) -> np.ndarray:
+        """Destripe a (n,H,W) numpy slab via fixed-size device batches with
+        async dispatch overlap; returns uint16 (n,H,W)."""
+        n = data.shape[0]
+        b = self.device_batch
+        outs = []
+        pending = deque()
+        for i in range(0, n, b):
+            chunk = data[i : i + b]
+            if chunk.shape[0] < b:  # pad tail to the compiled batch size
+                pad = np.zeros((b - chunk.shape[0],) + chunk.shape[1:], chunk.dtype)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            dev = jnp.asarray(np.ascontiguousarray(chunk))
+            pending.append((i, min(b, n - i), self._step(dev, self._flat, self._dark)))
+            # keep at most 2 dispatches in flight (double buffering)
+            while len(pending) > 2:
+                j, k, res = pending.popleft()
+                outs.append((j, np.asarray(res)[:k]))
+        while pending:
+            j, k, res = pending.popleft()
+            outs.append((j, np.asarray(res)[:k]))
+        outs.sort(key=lambda t: t[0])
+        return np.concatenate([o for _, o in outs], axis=0)
+
+    # -- main loop ---------------------------------------------------------
+
+    def run(self) -> PipelineStats:
+        stats = PipelineStats()
+        t_start = time.time()
+        Z, H, W = self.zyx
+        slabs = [(z0, min(z0 + self.slab, Z)) for z0 in range(0, Z, self.slab)]
+
+        read_q: deque = deque()
+        writes: list[Future] = []
+        next_read = 0
+
+        def schedule_reads():
+            nonlocal next_read
+            while next_read < len(slabs) and len(read_q) < self.prefetch:
+                z0, z1 = slabs[next_read]
+                if self.journal and (z0, z1) in self.journal.done:
+                    read_q.append(((z0, z1), None))
+                else:
+                    t0 = time.time()
+                    fut = self.io.submit(self._read_slab, z0, z1)
+                    read_q.append(((z0, z1), (fut, t0)))
+                next_read += 1
+
+        schedule_reads()
+        while read_q:
+            (z0, z1), item = read_q.popleft()
+            schedule_reads()
+            if item is None:
+                stats.slabs_skipped += 1
+                self.logger.info(f"slab {z0}:{z1} already committed; skipping")
+                continue
+            fut, t0 = item
+            data = fut.result()
+            stats.read_s += time.time() - t0
+
+            t0 = time.time()
+            out = self._process_slab(data)
+            stats.compute_s += time.time() - t0
+
+            t0 = time.time()
+
+            def write(z0=z0, z1=z1, out=out, t0=t0):
+                self._write_slab(z0, z1, out)
+                if self.journal:
+                    self.journal.commit((z0, z1))
+                return time.time() - t0
+
+            writes.append(self.io.submit(write))
+            stats.slabs += 1
+            stats.planes += z1 - z0
+            stats.pixels += (z1 - z0) * H * W
+            self.logger.info(f"slab {z0}:{z1} destriped ({z1 - z0} planes)")
+
+        for wfut in writes:
+            stats.write_s += wfut.result()
+        stats.wall_s = time.time() - t_start
+        self.logger.info(
+            f"pipeline done: {stats.planes} planes in {stats.wall_s:.2f}s "
+            f"({stats.gpix_per_s:.3f} GPix/s) read={stats.read_s:.1f}s "
+            f"compute={stats.compute_s:.1f}s write={stats.write_s:.1f}s "
+            f"skipped={stats.slabs_skipped}"
+        )
+        return stats

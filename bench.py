@@ -1,0 +1,93 @@
+"""
+Benchmark: destripe throughput on one TPU chip, production SmartSPIM geometry.
+
+Measures the fused destripe + flat-field device step (uint16 in / uint16 out,
+H2D/D2H included, async-dispatch overlapped — i.e. the steady-state of the
+streaming pipeline) on (B, 1600, 2000) planes with the production filter
+configs (run_capsule.py:374-390 of the reference).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "MPix/s/chip", "vs_baseline": N}
+vs_baseline is against the 2 GPix/s/chip north-star target (BASELINE.md) —
+the reference itself publishes no numbers.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from aind_smartspim_destripe_tpu.ops.filter import (
+        FilterConfig,
+        build_plan,
+        destripe_batch,
+    )
+    from aind_smartspim_destripe_tpu.ops.flatfield import flatfield_correction
+
+    H, W = 1600, 2000
+    B = int(__import__("os").environ.get("BENCH_BATCH", "16"))
+    iters = int(__import__("os").environ.get("BENCH_ITERS", "8"))
+
+    plan = build_plan(
+        H, W,
+        FilterConfig(wavelet="db3", level=None, sigma=64, max_threshold=3),
+        FilterConfig(wavelet="db3", level=None, sigma=128, max_threshold=12),
+    )
+
+    from functools import partial
+
+    consts = jax.device_put(plan.constants())
+
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+    def step(plan, images, flat, dark, consts):
+        return flatfield_correction(
+            destripe_batch(plan, images, 2500.0, consts), flat, dark
+        )
+
+    rng = np.random.default_rng(0)
+    base = np.clip(
+        300
+        + (rng.normal(size=(B, H, 1)) * 60) * np.ones((1, 1, W))
+        + rng.normal(size=(B, H, W)) * 10,
+        0,
+        65535,
+    ).astype(np.uint16)
+    flat = jax.device_put(np.full((H, W), 1.2, np.float32))
+    dark = jax.device_put(np.full((H, W), 4.0, np.float32))
+
+    # warmup / compile
+    out = step(plan, jax.numpy.asarray(base), flat, dark, consts)
+    out.block_until_ready()
+
+    # steady state: keep 2 dispatches in flight like the pipeline
+    t0 = time.perf_counter()
+    pending = []
+    for i in range(iters):
+        dev = jax.numpy.asarray(base)
+        pending.append(step(plan, dev, flat, dark, consts))
+        if len(pending) > 2:
+            np.asarray(pending.pop(0))
+    for p in pending:
+        np.asarray(p)
+    dt = time.perf_counter() - t0
+
+    pixels = iters * B * H * W
+    mpix_s = pixels / dt / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "destripe_throughput_1600x2000_u16",
+                "value": round(mpix_s, 1),
+                "unit": "MPix/s/chip",
+                "vs_baseline": round(mpix_s / 2000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

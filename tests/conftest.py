@@ -23,6 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # whose shapes repeat across runs.
 import jax  # noqa: E402
 
+# The axon TPU harness overrides JAX_PLATFORMS from the environment; the
+# config flag wins, so force the CPU backend here (tests must not run over
+# the TPU tunnel).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -1,0 +1,99 @@
+"""
+BaSiC shading-model tests: recover known synthetic flatfield/darkfield and
+exercise the flatfield_estimation surface (reference flatfield_estimation.py).
+"""
+
+import numpy as np
+import pytest
+
+from aind_smartspim_destripe_tpu.flatfield_estimation import (
+    shading_correction,
+    unify_fields,
+)
+from aind_smartspim_destripe_tpu.models.basic import BaSiC
+
+
+def synthetic_stack(n=24, h=64, w=64, dark=False, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    flat = 1.0 + 0.4 * np.exp(-((yy - h / 2) ** 2 + (xx - w / 2) ** 2) / (2 * (h / 3) ** 2))
+    flat = flat / flat.mean()
+    darkfield = 80.0 * (xx / w) if dark else np.zeros((h, w))
+    imgs = []
+    for i in range(n):
+        base = rng.uniform(400, 1200)
+        content = rng.normal(0, 15, size=(h, w))
+        # sparse bright blobs (cells) that the sparse residual should absorb
+        for _ in range(4):
+            cy, cx = rng.integers(0, h), rng.integers(0, w)
+            content += 3000 * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 8.0)
+        imgs.append(base * flat + darkfield + content)
+    return np.stack(imgs).astype(np.float32), flat, darkfield
+
+
+def test_basic_recovers_flatfield():
+    imgs, flat_true, _ = synthetic_stack()
+    model = BaSiC(
+        get_darkfield=False,
+        smoothness_flatfield=1.0,
+        sort_intensity=True,
+        max_reweight_iterations=5,
+        working_size=64,
+    )
+    model.fit(imgs)
+    assert model.flatfield.shape == imgs.shape[1:]
+    assert model.baseline.shape == (imgs.shape[0],)
+    corr = np.corrcoef(model.flatfield.ravel(), flat_true.ravel())[0, 1]
+    assert corr > 0.95, f"flatfield correlation too low: {corr:.3f}"
+    rel_err = np.mean(np.abs(model.flatfield - flat_true) / flat_true)
+    assert rel_err < 0.05, f"flatfield mean relative error {rel_err:.3f}"
+
+
+def test_basic_transform_flattens():
+    imgs, flat_true, _ = synthetic_stack(seed=3)
+    model = BaSiC(sort_intensity=True, max_reweight_iterations=3, working_size=64)
+    model.fit(imgs)
+    corrected = model.transform(imgs)
+    # After correction the column means should be much flatter
+    profile_before = imgs.mean(axis=0)
+    profile_after = corrected.mean(axis=0)
+    cv_before = profile_before.std() / profile_before.mean()
+    cv_after = profile_after.std() / profile_after.mean()
+    # Residual blob content keeps a floor; shading contribution must shrink.
+    assert cv_after < cv_before * 0.75, (cv_before, cv_after)
+
+
+def test_basic_fit_rejects_bad_shape():
+    with pytest.raises(ValueError):
+        BaSiC().fit(np.zeros((8, 8)))
+
+
+def test_shading_correction_surface():
+    imgs, *_ = synthetic_stack(n=8, h=32, w=32)
+    res = shading_correction(
+        list(imgs),
+        shading_parameters=dict(
+            get_darkfield=False,
+            smoothness_flatfield=1.0,
+            sort_intensity=True,
+            max_reweight_iterations=2,
+            working_size=32,
+        ),
+    )
+    assert set(res) == {"flatfield", "darkfield", "baseline"}
+    assert res["flatfield"].shape == (32, 32)
+
+
+def test_unify_fields_modes():
+    flats = [np.full((4, 4), v) for v in (1.0, 2.0, 3.0)]
+    darks = [np.full((4, 4), v) for v in (10.0, 20.0, 30.0)]
+    bases = [np.full((3,), v) for v in (1.0, 2.0, 3.0)]
+
+    f, d, b = unify_fields(flats, darks, bases, mode="median")
+    assert f.dtype == np.float16 and float(f[0, 0]) == 2.0 and float(d[0, 0]) == 20.0
+    f, d, b = unify_fields(flats, darks, bases, mode="mean")
+    assert float(f[0, 0]) == 2.0
+    f, d, b = unify_fields(flats, darks, bases, mode="mip")
+    assert float(f[0, 0]) == 3.0 and float(d[0, 0]) == 10.0 and float(b[0]) == 3.0
+    with pytest.raises(NotImplementedError):
+        unify_fields(flats, darks, bases, mode="bogus")

@@ -1,0 +1,144 @@
+"""
+Legacy file-batch path tests (reference destriper.py surface): directory
+mirroring, sidecar copies, device-batched filtering, retry/skip logging,
+plus run_capsule discovery conventions and provenance JSON.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from aind_smartspim_destripe_tpu import destriper, run_capsule
+from aind_smartspim_destripe_tpu.destriper_params import DestripingParams
+from aind_smartspim_destripe_tpu.io.readers import imread
+from aind_smartspim_destripe_tpu.io.writers import imsave
+from aind_smartspim_destripe_tpu.utils.provenance import generate_data_processing
+
+
+def make_tree(tmp_path, n=3, h=64, w=80):
+    rng = np.random.default_rng(0)
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    (inp / "col0" / "col0_row0").mkdir(parents=True)
+    out.mkdir()
+    (inp / "notes.txt").write_text("sidecar")
+    imgs = {}
+    for i in range(n):
+        img = np.clip(
+            300 + (rng.normal(size=(h, 1)) * 50) * np.ones((1, w)),
+            0, 65535,
+        ).astype(np.uint16)
+        p = inp / "col0" / "col0_row0" / f"{i}.tiff"
+        imsave(str(p), img)
+        imgs[f"{i}.tiff"] = img
+    return inp, out, imgs
+
+
+def test_batch_filter_mirrors_tree_and_filters(tmp_path):
+    inp, out, imgs = make_tree(tmp_path)
+    destriper.batch_filter(
+        input_path=inp,
+        output_path=out,
+        workers=4,
+        chunks=2,
+        high_int_filt_params={"wavelet": "db3", "level": None, "sigma": 64, "max_threshold": 3},
+        low_int_filt_params={"wavelet": "db3", "level": None, "sigma": 128, "max_threshold": 12},
+        shadow_correction=None,
+    )
+    assert (out / "notes.txt").read_text() == "sidecar"
+    for name, orig in imgs.items():
+        o = out / "col0" / "col0_row0" / name
+        assert o.exists()
+        got = np.asarray(imread(str(o)))
+        assert got.shape == orig.shape and got.dtype == np.uint16
+        # stripes reduced
+        assert np.var(got.astype(float).mean(axis=1)) < np.var(
+            orig.astype(float).mean(axis=1)
+        )
+    assert not (out / "destripe_log.txt").exists()
+
+
+def test_read_filter_save_logs_failed_reads(tmp_path):
+    out = tmp_path / "o"
+    out.mkdir()
+    bad = tmp_path / "missing.tiff"
+    destriper.read_filter_save(
+        output_dir=str(out),
+        input_path=str(bad),
+        output_path=str(out / "missing.tiff"),
+        high_int_filter_params={},
+        low_int_filter_params={},
+        shadow_correction=None,
+    )
+    log = out / "destripe_log.txt"
+    assert log.exists()
+    assert str(bad) in log.read_text()
+
+
+def test_destriper_params_cli():
+    with pytest.raises(SystemExit):
+        DestripingParams.from_args([])  # missing required args
+    p = DestripingParams.from_args(
+        ["--input_path", "/tmp", "--output_path", "/tmp/out", "--workers", "4"]
+    )
+    assert p.workers == 4 and p.chunks == 1 and p.output_format is None
+    with pytest.raises(ValueError):
+        DestripingParams("/nonexistent-dir", "/tmp").validate()
+
+
+# ---------------------------------------------------------------------------
+# run_capsule conventions + provenance
+# ---------------------------------------------------------------------------
+
+
+def test_get_resolution():
+    acq = {
+        "tiles": [
+            {
+                "coordinate_transformations": [
+                    {"type": "translation", "translation": [0, 0, 0]},
+                    {"type": "scale", "scale": ["1.8", "1.8", "2.0"]},
+                ]
+            }
+        ]
+    }
+    assert run_capsule.get_resolution(acq) == (1.8, 1.8, 2.0)
+
+
+def test_run_capsule_validations(tmp_path):
+    with pytest.raises(ValueError):
+        run_capsule.run(data_folder=str(tmp_path), results_folder=str(tmp_path))
+    (tmp_path / "acquisition.json").write_text("{}")
+    with pytest.raises(ValueError):
+        run_capsule.run(data_folder=str(tmp_path), results_folder=str(tmp_path))
+
+
+def test_generate_data_processing(tmp_path):
+    path = generate_data_processing(
+        channel_name="Ex_488_Em_525",
+        destripe_version="0.1.0",
+        destripe_config={
+            "input_path": "/data/Ex_488_Em_525",
+            "output_path": "/results",
+            "no_cells_config": {"wavelet": "db3"},
+            "retrospective": True,
+        },
+        start_time=0.0,
+        end_time=1.0,
+        output_directory=str(tmp_path),
+    )
+    doc = json.load(open(path))
+    procs = doc["processing_pipeline"]["data_processes"]
+    assert [p["name"] for p in procs] == [
+        "Image destriping",
+        "Image flat-field correction",
+    ]
+    assert "basicpy" in procs[1]["notes"]
+    assert "input_path" not in procs[0]["parameters"]
+    assert os.path.basename(path) == "image_destriping_Ex_488_Em_525_processing.json"
+    with pytest.raises(FileNotFoundError):
+        generate_data_processing(
+            "c", "0.1.0", {}, 0.0, 1.0, str(tmp_path / "nope")
+        )

@@ -178,3 +178,18 @@ def test_max_level_zero_small_image():
     wav = W.wavelet("db3")
     level, shapes = W.wavedec2_shapes((4, 4), wav, None)
     assert level == 0 and shapes == []
+
+
+def test_matmul_path_matches_conv_path():
+    """The MXU banded-matmul DWT must agree with the strided-conv derivation."""
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(2, 45, 77)).astype(np.float32)
+    wav = W.wavelet("db3")
+    ca_m, det_m = map_np(W.dwt2)(x, wav)
+    ca_c, det_c = map_np(W.dwt2_conv)(x, wav)
+    np.testing.assert_allclose(ca_m, ca_c, atol=2e-5)
+    for a, b in zip(det_m, det_c):
+        np.testing.assert_allclose(a, b, atol=2e-5)
+    y_m = map_np(W.idwt2)(ca_m, det_m, wav)
+    y_c = map_np(W.idwt2_conv)(ca_m, det_m, wav)
+    np.testing.assert_allclose(y_m, y_c, atol=2e-5)
