@@ -74,10 +74,9 @@ def dual_band_destripe_batch(
     fore = destripe_batch(plan_fore, x, -jnp.inf, consts_fore)
     back = destripe_batch(plan_back, x, -jnp.inf, consts_back)
 
-    if threshold < 0:
-        centers = jax.vmap(threshold_otsu)(x)[:, None, None]
-    else:
-        centers = jnp.full((x.shape[0], 1, 1), threshold, x.dtype)
+    otsu_centers = jax.vmap(threshold_otsu)(x)[:, None, None]
+    fixed = jnp.full_like(otsu_centers, threshold)
+    centers = jnp.where(threshold < 0, otsu_centers, fixed)
 
     frac = 1.0 / (1.0 + jnp.exp(-(x - centers) / crossover))
     frac = _smooth(frac, smooth_radius)
