@@ -278,6 +278,10 @@ def destripe_zarr(
     logger.info(f"{20 * '='} TPU Large-Scale Zarr Destriping {20 * '='}")
     logger.info(f"Processing dataset {dataset_path}")
 
+    from .runtime import enable_compile_cache
+
+    enable_compile_cache()
+
     profiler = ResourceProfiler(interval=20).start()
 
     try:
