@@ -32,8 +32,10 @@ from ..ops.flatfield import flatfield_correction
 
 __all__ = [
     "make_mesh",
+    "make_mesh_2d",
     "shard_planes",
     "sharded_destripe_step",
+    "sharded_destripe_step_2d",
     "global_minmax",
     "sharded_normalize_image",
 ]
@@ -45,6 +47,27 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "z") -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis,))
+
+
+def make_mesh_2d(
+    n_devices: Optional[int] = None,
+    tile_parallel: int = 2,
+    axes: Tuple[str, str] = ("tile", "z"),
+) -> Mesh:
+    """2-D mesh (tile, z): outer axis shards independent tiles/channels (the
+    multi-host DCN-friendly axis), inner axis shards planes within a tile
+    (ICI-local). Both are data axes — the filter needs no cross-chip math —
+    but the 2-D layout is what a v5e pod slice runs: tiles across hosts,
+    planes across the chips of each host."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n % tile_parallel:
+        raise ValueError(f"{n} devices not divisible by tile_parallel={tile_parallel}")
+    return Mesh(
+        np.array(devices).reshape(tile_parallel, n // tile_parallel), axes
+    )
 
 
 def shard_planes(mesh: Mesh, batch: jax.Array, axis: str = "z") -> jax.Array:
@@ -90,6 +113,50 @@ def sharded_destripe_step(
         flat = jax.device_put(jnp.asarray(flat), rep)
         dark = jax.device_put(jnp.asarray(dark), rep)
         return step(plan, images, flat, dark, consts)
+
+    return run
+
+
+def sharded_destripe_step_2d(
+    mesh: Mesh,
+    plan: DestripePlan,
+    microscope_high_int: float = 2500.0,
+    axes: Tuple[str, str] = ("tile", "z"),
+):
+    """Multi-tile step on a 2-D mesh: input (T, B, H, W) with tiles sharded
+    over ``axes[0]`` and planes over ``axes[1]``; per-tile flats (T, H, W)
+    shard over the tile axis only. Global per-tile min/max stats reduce over
+    the z axis (ICI), demonstrating the two-level collective layout."""
+    in_spec = NamedSharding(mesh, P(axes[0], axes[1], None, None))
+    flat_spec = NamedSharding(mesh, P(axes[0], None, None))
+    rep = NamedSharding(mesh, P())
+    consts = jax.device_put(plan.constants(), rep)
+
+    stats_spec = NamedSharding(mesh, P(axes[0], None))
+
+    @partial(jax.jit, static_argnums=(0,), out_shardings=(in_spec, stats_spec))
+    def step(plan, images, flats, darks, consts):
+        t, b, h, w = images.shape
+        flat_b = jnp.repeat(flats[:, None], b, axis=1).reshape(t * b, h, w)
+        dark_b = jnp.repeat(darks[:, None], b, axis=1).reshape(t * b, h, w)
+        filtered = destripe_batch(
+            plan, images.reshape(t * b, h, w), microscope_high_int, consts
+        )
+        out = flatfield_correction(filtered, flat_b, dark_b).reshape(t, b, h, w)
+        stats = jnp.stack(
+            [
+                jnp.min(filtered.reshape(t, b, h, w), axis=(1, 2, 3)),
+                jnp.max(filtered.reshape(t, b, h, w), axis=(1, 2, 3)),
+            ],
+            axis=-1,
+        )
+        return out, stats
+
+    def run(images, flats, darks):
+        images = jax.device_put(images, in_spec)
+        flats = jax.device_put(jnp.asarray(flats), flat_spec)
+        darks = jax.device_put(jnp.asarray(darks), flat_spec)
+        return step(plan, images, flats, darks, consts)
 
     return run
 

@@ -92,3 +92,37 @@ def test_graft_entry_dryrun():
     fn, args = ge.entry()
     assert callable(fn) and len(args) == 3
     ge.dryrun_multichip(8)
+
+
+def test_2d_mesh_tiles_by_planes(mesh):
+    from aind_smartspim_destripe_tpu.parallel.mesh import (
+        make_mesh_2d,
+        sharded_destripe_step_2d,
+    )
+
+    mesh2 = make_mesh_2d(8, tile_parallel=2)
+    assert mesh2.devices.shape == (2, 4)
+    h, w = 48, 64
+    plan = _plan(h, w)
+    rng = np.random.default_rng(3)
+    images = rng.integers(0, 3000, size=(2, 8, h, w)).astype(np.uint16)
+    flats = np.stack([np.full((h, w), 1.0 + 0.2 * t, np.float32) for t in range(2)])
+    darks = np.zeros((2, h, w), np.float32)
+
+    with mesh2:
+        step = sharded_destripe_step_2d(mesh2, plan)
+        out, stats = step(images, flats, darks)
+    out = np.asarray(out)
+    assert out.shape == images.shape and out.dtype == np.uint16
+    assert np.asarray(stats).shape == (2, 2)
+
+    # per-tile flat actually applied: tile 1 divided by a larger flat
+    from aind_smartspim_destripe_tpu.ops.flatfield import flatfield_correction
+
+    want1 = np.asarray(
+        flatfield_correction(
+            destripe_batch(plan, images[1].astype(np.float32), 2500.0),
+            flats[1], darks[1],
+        )
+    )
+    assert (np.abs(out[1].astype(int) - want1.astype(int)) <= 1).all()
