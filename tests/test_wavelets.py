@@ -193,3 +193,30 @@ def test_matmul_path_matches_conv_path():
     y_m = map_np(W.idwt2)(ca_m, det_m, wav)
     y_c = map_np(W.idwt2_conv)(ca_m, det_m, wav)
     np.testing.assert_allclose(y_m, y_c, atol=2e-5)
+
+
+def test_blocked_path_matches_dense_operators():
+    """The default blocked shift-invariant path must agree with the dense
+    per-geometry operator path (same math, different blocking)."""
+    rng = np.random.default_rng(11)
+    for shape in [(45, 77), (64, 100), (16, 16), (13, 17), (130, 258)]:
+        x = rng.normal(size=(2,) + shape).astype(np.float32)
+        wav = W.wavelet("db3")
+        h, w = shape
+        dense_ops = (
+            np.asarray(W.analysis_operator(h, "db3")),
+            np.asarray(W.analysis_operator(w, "db3")),
+        )
+        ca_b, det_b = map_np(W.dwt2)(x, wav)
+        ca_d, det_d = map_np(W.dwt2)(x, wav, tuple(map(jax.numpy.asarray, dense_ops)))
+        np.testing.assert_allclose(ca_b, ca_d, atol=3e-5)
+        for a, b in zip(det_b, det_d):
+            np.testing.assert_allclose(a, b, atol=3e-5)
+
+        syn_ops = (
+            jax.numpy.asarray(W.synthesis_operator(ca_b.shape[-2], "db3")),
+            jax.numpy.asarray(W.synthesis_operator(ca_b.shape[-1], "db3")),
+        )
+        y_b = map_np(W.idwt2)(ca_b, det_b, wav)
+        y_d = map_np(W.idwt2)(ca_b, det_b, wav, syn_ops)
+        np.testing.assert_allclose(y_b, y_d, atol=3e-5)
