@@ -123,6 +123,66 @@ def extract_global_to_local(global_ids_with_cells, global_slices, pad: int = 0):
     return picked[keep2]
 
 
+def execute_worker(
+    data: np.ndarray,
+    output_slices: Tuple[slice, ...],
+    output_destriped_zarr,
+    cells_config: dict,
+    no_cells_config: dict,
+    shadow_correction: Optional[dict] = None,
+    dataset_name: str = "",
+    logger: Optional[logging.Logger] = None,
+):
+    """Destripe one in-memory Z-block and write it to the output store
+    (reference zarr_destriper.py:253-339 surface, for custom orchestration;
+    the streaming pipeline in runtime/pipeline.py is the production path).
+
+    ``data``: (Z, H, W) (or squeezable 4-D/5-D) block; ``output_slices``:
+    where it lands in the (possibly 5-D) output array. The whole block runs
+    as one batched device call instead of a per-plane Python loop.
+    """
+    block = np.asarray(data)
+    while block.ndim > 3:
+        block = np.squeeze(block, axis=0)
+
+    h, w = block.shape[-2:]
+    plan = build_plan(
+        h,
+        w,
+        FilterConfig.from_dict(cells_config),
+        FilterConfig.from_dict(no_cells_config),
+    )
+    from .ops.filter import destripe_batch, device_constants
+
+    filtered = np.asarray(
+        destripe_batch(
+            plan,
+            block.astype(np.float32),
+            2500.0,
+            device_constants(plan),
+        )
+    )
+
+    if shadow_correction is not None:
+        flat = shadow_correction.get("flatfield")
+        dark = shadow_correction.get("darkfield")
+        if not shadow_correction.get("retrospective"):
+            flat = ffops.get_hemisphere_flatfield(
+                input_tile_path=dataset_name.replace(".zarr", ""),
+                tile_config=shadow_correction.get("tile_config"),
+                flatfields=flat,
+            )
+        filtered = np.asarray(ffops.flatfield_correction(filtered, flat, dark))
+
+    out = filtered
+    while out.ndim < len(output_destriped_zarr.shape):
+        out = out[np.newaxis]
+    output_destriped_zarr[output_slices] = out
+    if logger:
+        logger.info(f"block {output_slices} destriped")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Pyramid
 # ---------------------------------------------------------------------------

@@ -1,0 +1,193 @@
+"""
+The five BASELINE.json benchmark configurations, runnable standalone.
+
+  1. single 2048x2048 uint16 slice, log-space FFT destripe (reference params)
+  2. batch of 64 slices: wavelet-FFT dual-band vs log-space variant
+  3. one Zarr channel stack (~512 slices) end-to-end read->destripe->write
+  4. 3-channel acquisition with overlapped host IO + device compute
+  5. sharded mesh run (virtual devices when only one chip is attached)
+
+Usage: python benchmarks/run_configs.py [1 2 3 4 5]
+Each config prints one JSON line with its throughput.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _striped(b, h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    base = 300 + (rng.normal(size=(b, h, 1)) * 60) * np.ones((1, 1, w))
+    return np.clip(base + rng.normal(size=(b, h, w)) * 10, 0, 65535).astype(np.uint16)
+
+
+def _report(name, pixels, seconds):
+    print(
+        json.dumps(
+            {
+                "metric": name,
+                "value": round(pixels / seconds / 1e6, 1),
+                "unit": "MPix/s",
+                "seconds": round(seconds, 3),
+            }
+        ),
+        flush=True,
+    )
+
+
+def config1():
+    """Single 2048x2048 slice, log-space filter, reference params."""
+    from aind_smartspim_destripe_tpu.filtering import log_space_fft_filtering
+
+    img = _striped(1, 2048, 2048)[0]
+    log_space_fft_filtering(img, wavelet="db3", level=None, sigma=128, max_threshold=12)
+    t0 = time.perf_counter()
+    n = 8
+    for _ in range(n):
+        log_space_fft_filtering(
+            img, wavelet="db3", level=None, sigma=128, max_threshold=12
+        )
+    _report("config1_single_2048_slice", n * 2048 * 2048, time.perf_counter() - t0)
+
+
+def config2():
+    """64-slice batch: dual-band vs log-space."""
+    from aind_smartspim_destripe_tpu.filtering import log_space_fft_filtering
+    from aind_smartspim_destripe_tpu.ops.dual_band import dual_band_filtering
+
+    imgs = _striped(64, 1600, 2000)
+    for name, fn in (
+        ("config2_log_space_64", lambda: log_space_fft_filtering(
+            imgs, wavelet="db3", level=None, sigma=128, max_threshold=12)),
+        ("config2_dual_band_64", lambda: dual_band_filtering(
+            imgs, sigma=(256.0, 128.0), wavelet="db3", level=None)),
+    ):
+        fn()
+        t0 = time.perf_counter()
+        fn()
+        _report(name, imgs.size, time.perf_counter() - t0)
+
+
+def _make_channel(root, name, z, h, w, n_tiles=1):
+    from aind_smartspim_destripe_tpu.io.zarr import group
+
+    ch = root / name
+    for t in range(n_tiles):
+        tile = group(str(ch / f"4713{t}0_461360.zarr"))
+        lvl0 = tile.create_dataset(
+            0, shape=(1, 1, z, h, w), chunks=(1, 1, 64, 128, 128), dtype=np.uint16
+        )
+        vol = _striped(z, h, w, seed=t)
+        lvl0[:] = vol[None, None]
+    return ch
+
+
+def config3(z=512, h=1600, w=2000):
+    """One channel stack end-to-end (read -> destripe -> write + pyramid)."""
+    import pathlib
+
+    from aind_smartspim_destripe_tpu import zarr_destriper as zd
+
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    _make_channel(tmp, "Ex_488_Em_525", z, h, w)
+    results = tmp / "results"
+    results.mkdir()
+    params = {
+        "no_cells_config": {"wavelet": "db3", "level": None, "sigma": 128, "max_threshold": 12},
+        "cells_config": {"wavelet": "db3", "level": None, "sigma": 64, "max_threshold": 3},
+    }
+    t0 = time.perf_counter()
+    zd.destripe_zarr(
+        dataset_path=tmp / "Ex_488_Em_525" / "471300_461360.zarr",
+        multiscale="0",
+        output_destriped_zarr=results / "Ex_488_Em_525" / "471300_461360.zarr",
+        prediction_chunksize=(64, h, w),
+        target_size_mb=3072,
+        n_workers=0,
+        batch_size=1,
+        super_chunksize=(384, h, w),
+        results_folder=results,
+        derivatives_path=None,
+        xyz_resolution=(1.8, 1.8, 2.0),
+        parameters=params,
+        flatfield=np.full((h, w), 1.2, np.float32),
+    )
+    _report("config3_channel_stack_e2e", z * h * w, time.perf_counter() - t0)
+
+
+def config4():
+    """Three channels with overlapped IO + compute (smaller Z per channel)."""
+    import pathlib
+
+    from aind_smartspim_destripe_tpu import zarr_destriper as zd
+
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    results = tmp / "results"
+    results.mkdir()
+    z, h, w = 128, 1600, 2000
+    params = {
+        "no_cells_config": {"wavelet": "db3", "level": None, "sigma": 128, "max_threshold": 12},
+        "cells_config": {"wavelet": "db3", "level": None, "sigma": 64, "max_threshold": 3},
+    }
+    chans = [f"Ex_{l}_Em_{l}" for l in (488, 561, 639)]
+    for c in chans:
+        _make_channel(tmp, c, z, h, w)
+    t0 = time.perf_counter()
+    for c in chans:
+        zd.destripe_zarr(
+            dataset_path=tmp / c / "471300_461360.zarr",
+            multiscale="0",
+            output_destriped_zarr=results / c / "471300_461360.zarr",
+            prediction_chunksize=(64, h, w),
+            target_size_mb=3072,
+            n_workers=0,
+            batch_size=1,
+            super_chunksize=(384, h, w),
+            results_folder=results,
+            derivatives_path=None,
+            xyz_resolution=(1.8, 1.8, 2.0),
+            parameters=params,
+            flatfield=np.full((h, w), 1.2, np.float32),
+        )
+    _report("config4_three_channels", 3 * z * h * w, time.perf_counter() - t0)
+
+
+def config5():
+    """Sharded mesh step (all attached devices; virtual CPU mesh in dev)."""
+    import jax
+
+    from aind_smartspim_destripe_tpu.ops.filter import FilterConfig, build_plan
+    from aind_smartspim_destripe_tpu.parallel.mesh import make_mesh, sharded_destripe_step
+
+    n = len(jax.devices())
+    h, w = (1600, 2000) if jax.default_backend() != "cpu" else (96, 128)
+    plan = build_plan(
+        h, w,
+        FilterConfig(sigma=64, max_threshold=3),
+        FilterConfig(sigma=128, max_threshold=12),
+    )
+    mesh = make_mesh(n)
+    imgs = _striped(8 * n, h, w)
+    flat = np.full((h, w), 1.2, np.float32)
+    dark = np.zeros((h, w), np.float32)
+    with mesh:
+        step = sharded_destripe_step(mesh, plan)
+        out, _ = step(imgs, flat, dark)
+        out.block_until_ready()
+        t0 = time.perf_counter()
+        out, _ = step(imgs, flat, dark)
+        np.asarray(out[0, :2, :2])
+        _report(f"config5_mesh_{n}dev", imgs.size, time.perf_counter() - t0)
+
+
+if __name__ == "__main__":
+    picks = [int(a) for a in sys.argv[1:]] or [1, 2, 5]
+    for i in picks:
+        globals()[f"config{i}"]()

@@ -173,3 +173,76 @@ def test_pad_array_n_d_and_extract():
     picked = zd.extract_global_to_local(ids.copy(), sl)
     assert (picked[:, :3] >= 0).all()
     assert picked.shape[0] == 1 and picked[0, 3] == 1
+
+
+def test_execute_worker_block_api(tmp_path):
+    """execute_worker parity surface: destripe an in-memory block and write
+    it into output slices (reference zarr_destriper.py:253-339)."""
+    from aind_smartspim_destripe_tpu.io.zarr import ZarrArray
+
+    rng = np.random.default_rng(0)
+    block = np.clip(
+        300 + (rng.normal(size=(4, 64, 80, 1)) * 50).transpose(0, 1, 3, 2)
+        * np.ones((1, 1, 1, 80)),
+        0, 65535,
+    )[..., 0, :].astype(np.float32)
+    out = ZarrArray.create(
+        str(tmp_path / "o.zarr"), (1, 1, 8, 64, 80), (1, 1, 4, 64, 80), np.uint16
+    )
+    flat = np.full((64, 80), 1.5, np.float32)
+    dark = np.zeros((64, 80), np.float32)
+    res = zd.execute_worker(
+        data=block[None, None],
+        output_slices=(slice(0, 1), slice(0, 1), slice(4, 8), slice(0, 64), slice(0, 80)),
+        output_destriped_zarr=out,
+        cells_config=PARAMETERS["cells_config"],
+        no_cells_config=PARAMETERS["no_cells_config"],
+        shadow_correction={
+            "retrospective": True, "flatfield": flat, "darkfield": dark,
+            "tile_config": None,
+        },
+        dataset_name="471320_461360.zarr",
+    )
+    assert res.dtype == np.uint16
+    np.testing.assert_array_equal(out[0, 0, 4:8], np.squeeze(res))
+    assert (out[0, 0, 0:4] == 0).all()
+
+
+def test_get_microscope_flats(tmp_path):
+    from aind_smartspim_destripe_tpu.io.writers import imsave
+
+    deriv = tmp_path / "derivatives"
+    deriv.mkdir()
+    meta = {
+        "tile_config": {
+            "t0": {"Laser": "488", "X": "471320", "Y": "461360", "Side": "0"},
+            "t1": {"Laser": "488", "X": "489620", "Y": "461360", "Side": "1"},
+            "t2": {"Laser": "561", "X": "471320", "Y": "461360", "Side": "0"},
+        }
+    }
+    (deriv / "metadata.json").write_text(json.dumps(meta))
+    for i in range(2):
+        imsave(str(deriv / f"f{i}.tiff"), np.full((4, 4), i + 1, np.uint16))
+        os.replace(str(deriv / f"f{i}.tiff"), str(deriv / f"FlatReal488_{i}.tif"))
+
+    flats, config = zd.get_microscope_flats("Ex_488_Em_525", deriv)
+    assert len(flats) == 2
+    assert config == {"471320": {"461360": 0}, "489620": {"461360": 1}}
+
+    # channel without digits -> no flats
+    flats2, config2 = zd.get_microscope_flats("nochannel", deriv)
+    assert flats2 is None and config2 is None
+
+    # wrong flat count raises
+    os.remove(str(deriv / "FlatReal488_1.tif"))
+    with pytest.raises(ValueError):
+        zd.get_microscope_flats("Ex_488_Em_525", deriv)
+
+
+def test_compute_pyramid_levels():
+    data = np.arange(4 * 8 * 8, dtype=np.uint16).reshape(4, 8, 8)
+    levels = zd.compute_pyramid(data, n_lvls=3, scale_axis=(2, 2, 2))
+    assert [lvl.shape for lvl in levels] == [(4, 8, 8), (2, 4, 4), (1, 2, 2)]
+    from aind_smartspim_destripe_tpu.ops.multiscale import windowed_mean_np
+
+    np.testing.assert_array_equal(levels[1], windowed_mean_np(data, (2, 2, 2)))
