@@ -189,17 +189,34 @@ class StreamingDestriper:
         )
 
     # -- IO helpers --------------------------------------------------------
+    # Bounded retries mirror the reference's NAS-flakiness handling
+    # (destriper.py:167-191 reads, :202-215 writes).
 
     def _read_slab(self, z0: int, z1: int) -> np.ndarray:
-        if self._lead:
-            return np.asarray(self.inp[0, 0, z0:z1])
-        return np.asarray(self.inp[z0:z1])
+        for attempt in range(3):
+            try:
+                if self._lead:
+                    return np.asarray(self.inp[0, 0, z0:z1])
+                return np.asarray(self.inp[z0:z1])
+            except OSError:
+                if attempt == 2:
+                    raise
+                self.logger.error(f"retrying read of slab {z0}:{z1}...")
+                time.sleep(0.05)
 
     def _write_slab(self, z0: int, z1: int, data: np.ndarray):
-        if len(self.out.shape) == 5:
-            self.out[0:1, 0:1, z0:z1] = data[None, None]
-        else:
-            self.out[z0:z1] = data
+        for attempt in range(10):
+            try:
+                if len(self.out.shape) == 5:
+                    self.out[0:1, 0:1, z0:z1] = data[None, None]
+                else:
+                    self.out[z0:z1] = data
+                return
+            except OSError:
+                if attempt == 9:
+                    raise
+                self.logger.error(f"retrying write of slab {z0}:{z1}...")
+                time.sleep(0.05)
 
     # -- device ------------------------------------------------------------
 

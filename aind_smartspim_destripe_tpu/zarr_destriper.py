@@ -441,6 +441,8 @@ def destripe_zarr(
             else:
                 per_tile_flat = flat_arr
 
+        from .runtime.tracing import device_trace
+
         start_time = time()
         pipe = StreamingDestriper(
             input_array=lazy_data,
@@ -453,7 +455,8 @@ def destripe_zarr(
             io_threads=n_workers or 0,
             logger=logger,
         )
-        stats = pipe.run()
+        with device_trace(os.environ.get("DESTRIPE_TRACE_DIR")):
+            stats = pipe.run()
         end_time = time()
 
         multiscale_start = time()

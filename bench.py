@@ -82,6 +82,32 @@ def main():
 
     pixels = iters * B * H * W
     mpix_s = pixels / dt / 1e6
+
+    # Fidelity evidence: PSNR of the uint16 device output vs the float64
+    # numpy/scipy re-derivation of the reference pipeline (one plane).
+    psnr_db = None
+    try:
+        import sys
+
+        sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.abspath(__file__)))
+        from tests.golden import numpy_ref as G
+
+        plane = np.asarray(base[0], dtype=np.float64)
+        want_f = G.filter_stripes_ref(
+            plane,
+            {"wavelet": "db3", "level": None, "sigma": 128, "max_threshold": 12},
+            {"wavelet": "db3", "level": None, "sigma": 64, "max_threshold": 3},
+            microscope_high_int=2500,
+        )
+        want = G.flatfield_correction_ref(
+            want_f, np.full((H, W), 1.2), np.full((H, W), 4.0)
+        )
+        got = np.asarray(out[0])
+        mse = np.mean((got.astype(np.float64) - want.astype(np.float64)) ** 2)
+        psnr_db = round(10 * np.log10(65535.0**2 / mse), 1) if mse > 0 else 999.0
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
@@ -89,6 +115,7 @@ def main():
                 "value": round(mpix_s, 1),
                 "unit": "MPix/s/chip",
                 "vs_baseline": round(mpix_s / 2000.0, 3),
+                "psnr_vs_reference_db": psnr_db,
             }
         )
     )
