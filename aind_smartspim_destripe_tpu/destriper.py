@@ -24,9 +24,9 @@ from typing import Optional
 
 import numpy as np
 
-from .filtering import filter_stripes, get_foreground_background_mean
+from .filtering import filter_stripes
 from .io.readers import SUPPORTED_READING_EXTENSIONS, imread
-from .io.writers import SUPPORTED_OUTPUT_EXTENSIONS, imsave
+from .io.writers import imsave
 from .ops.filter import FilterConfig, build_plan, destripe_batch
 from .ops.flatfield import flatfield_correction, get_hemisphere_flatfield
 

@@ -26,7 +26,7 @@ per-level filter chain (mask/median/notch) into one fused Pallas program.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ from __future__ import annotations
 import json
 import os
 from datetime import datetime, timezone
-from typing import Optional
+ 
 
 CODE_URL = "https://github.com/AllenNeuralDynamics/aind-smartspim-destripe"
 PIPELINE_URL = "https://github.com/AllenNeuralDynamics/aind-smartspim-pipeline"
