@@ -508,8 +508,21 @@ def destripe_channel(
     destriped_data_folder = results_folder.joinpath("destriped_data")
     utils.create_folder(str(destriped_data_folder))
 
+    tiles = sorted(channel_dataset.glob("*.zarr"))
+    try:
+        import jax
+
+        if jax.process_count() > 1:
+            # Multi-host: each process owns a disjoint tile subset; bulk
+            # image bytes never cross DCN (parallel/distributed.py).
+            from .parallel.distributed import assign_tiles
+
+            tiles = assign_tiles(tiles)
+    except Exception:  # pragma: no cover - jax optional at this layer
+        pass
+
     stats = []
-    for tile_path in sorted(channel_dataset.glob("*.zarr")):
+    for tile_path in tiles:
         output_folder = destriped_data_folder.joinpath(
             f"{channel_name}/{tile_path.name}"
         )
