@@ -183,6 +183,20 @@ def classify_planes(
     return (fg_mean > bg_mean) & (fg_mean > microscope_high_int)
 
 
+def _row_median(x: jax.Array) -> jax.Array:
+    """Exact median over the last axis, keepdims. Unlike jnp.median (which
+    routes through quantile and emits a stable (f32, s32) tuple sort — the
+    single hottest op in the step profile), this sorts values only: same
+    result, ~2x cheaper on TPU."""
+    n = x.shape[-1]
+    s = jax.lax.sort(x, dimension=x.ndim - 1, is_stable=False)
+    if n % 2:
+        return s[..., n // 2 : n // 2 + 1]
+    lo = s[..., n // 2 - 1 : n // 2]
+    hi = s[..., n // 2 : n // 2 + 1]
+    return (lo + hi) * 0.5
+
+
 # ---------------------------------------------------------------------------
 # Per-level horizontal-band filtering (reference filtering.py:186-219)
 # ---------------------------------------------------------------------------
@@ -207,7 +221,7 @@ def _filter_level(
     foreground = ch * mask
     background = ch * (1.0 - mask)
 
-    background_means = jnp.median(background, axis=-1, keepdims=True)
+    background_means = _row_median(background)
     background_inpainted = background + background_means * mask
 
     filt_c = fft_notch.apply_notch(background_inpainted, bmat_cells)

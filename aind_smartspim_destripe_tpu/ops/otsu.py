@@ -26,11 +26,13 @@ def histogram_fixed_bins(x: jnp.ndarray, nbins: int = 256):
     safe_span = jnp.where(span > 0, span, 1.0)
     idx = jnp.floor((flat - lo) / safe_span * nbins).astype(jnp.int32)
     idx = jnp.clip(idx, 0, nbins - 1)  # x == max falls in the last bin
-    bins = jnp.arange(nbins, dtype=jnp.int32)
     # Fused broadcast-compare-reduce: XLA streams this without materializing
-    # the (N, nbins) intermediate.
+    # the (N, nbins) intermediate. uint8 compares pack 4x denser on the VPU
+    # than int32 (nbins <= 256 so the cast is lossless).
+    idx8 = idx.astype(jnp.uint8)
+    bins = jnp.arange(nbins, dtype=jnp.uint8)
     counts = jnp.sum(
-        (idx[:, None] == bins[None, :]).astype(jnp.float32), axis=0
+        (idx8[:, None] == bins[None, :]).astype(jnp.float32), axis=0
     )
     edges = lo + span * jnp.arange(nbins + 1, dtype=x.dtype) / nbins
     centers = (edges[:-1] + edges[1:]) / 2.0
