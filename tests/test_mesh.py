@@ -90,7 +90,7 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
     fn, args = ge.entry()
-    assert callable(fn) and len(args) == 3
+    assert callable(fn) and len(args) == 4
     ge.dryrun_multichip(8)
 
 
