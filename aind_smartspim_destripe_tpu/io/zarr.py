@@ -79,6 +79,46 @@ class ZlibCodec:
         return _zlib.decompress(data)
 
 
+class GzipCodec:
+    def __init__(self, level=1):
+        self.level = level
+
+    @property
+    def config(self):
+        return {"id": "gzip", "level": self.level}
+
+    def encode(self, data: bytes, typesize: int) -> bytes:
+        import gzip as _gzip
+
+        return _gzip.compress(data, self.level)
+
+    def decode(self, data: bytes) -> bytes:
+        import gzip as _gzip
+
+        return _gzip.decompress(data)
+
+
+class ZstdCodec:
+    """numcodecs 'zstd' (bare zstd frames, no blosc container)."""
+
+    def __init__(self, level=1):
+        self.level = level
+
+    @property
+    def config(self):
+        return {"id": "zstd", "level": self.level}
+
+    def encode(self, data: bytes, typesize: int) -> bytes:
+        import zstandard
+
+        return zstandard.ZstdCompressor(level=self.level).compress(data)
+
+    def decode(self, data: bytes) -> bytes:
+        import zstandard
+
+        return zstandard.ZstdDecompressor().decompress(data)
+
+
 class RawCodec:
     config = None
 
@@ -102,6 +142,10 @@ def codec_from_config(cfg: Optional[dict]):
         )
     if cid == "zlib":
         return ZlibCodec(level=cfg.get("level", 1))
+    if cid == "gzip":
+        return GzipCodec(level=cfg.get("level", 1))
+    if cid == "zstd":
+        return ZstdCodec(level=cfg.get("level", 1))
     raise NotImplementedError(f"compressor {cid!r} not supported")
 
 
@@ -191,7 +235,8 @@ class ZarrArray:
         self.shape = tuple(meta["shape"])
         self.chunks = tuple(meta["chunks"])
         self.dtype = np.dtype(meta["dtype"])
-        self.fill_value = meta.get("fill_value", 0)
+        fill = meta.get("fill_value", 0)
+        self.fill_value = 0 if fill is None else fill
         self.separator = meta.get("dimension_separator", ".")
         self.codec = codec_from_config(meta.get("compressor"))
         self.attrs = Attributes(path)

@@ -134,3 +134,27 @@ def test_zlib_codec_roundtrip(tmp_path):
     data = np.arange(256, dtype=np.uint16).reshape(16, 16)
     arr[:, :] = data
     np.testing.assert_array_equal(ZarrArray.open(str(tmp_path / "z"))[:, :], data)
+
+
+def test_gzip_and_zstd_codecs(tmp_path):
+    from aind_smartspim_destripe_tpu.io.zarr import GzipCodec, ZstdCodec
+
+    data = np.arange(64, dtype=np.uint16).reshape(8, 8)
+    for name, codec in (("g", GzipCodec(1)), ("z", ZstdCodec(1))):
+        arr = ZarrArray.create(
+            str(tmp_path / name), (8, 8), (4, 4), np.uint16, compressor=codec
+        )
+        arr[:, :] = data
+        np.testing.assert_array_equal(ZarrArray.open(str(tmp_path / name))[:, :], data)
+
+
+def test_null_fill_value_tolerated(tmp_path):
+    import json as _json
+
+    p = str(tmp_path / "nf")
+    arr = ZarrArray.create(p, (4, 4), (2, 2), np.uint16)
+    meta = _json.load(open(os.path.join(p, ".zarray")))
+    meta["fill_value"] = None
+    _json.dump(meta, open(os.path.join(p, ".zarray"), "w"))
+    reopened = ZarrArray.open(p)
+    np.testing.assert_array_equal(reopened[:, :], np.zeros((4, 4), np.uint16))
