@@ -38,10 +38,6 @@ logger = logging.getLogger(__name__)
 logger.setLevel(logging.INFO)
 
 
-def _get_extension(path):
-    return Path(path).suffix
-
-
 def read_filter_save(
     output_dir,
     input_path,

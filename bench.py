@@ -21,6 +21,10 @@ import numpy as np
 def main():
     import jax
 
+    from aind_smartspim_destripe_tpu.runtime import enable_compile_cache
+
+    enable_compile_cache()
+
     from aind_smartspim_destripe_tpu.ops.filter import (
         FilterConfig,
         build_plan,
