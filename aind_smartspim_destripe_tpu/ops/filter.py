@@ -110,7 +110,9 @@ class DestripePlan:
         The dense per-geometry DWT operators measure ~45% faster end-to-end
         on TPU than the FLOP-cheaper blocked shift-invariant path (transposes
         and misaligned windows dominate the latter); destripe_batch therefore
-        uses the dense path when constants are supplied."""
+        uses the dense path when constants are supplied. The two per-level
+        notch operators (cells/no-cells sigmas) are fused column-wise into
+        one (w, 2w) matrix so both bands come from a single MXU matmul."""
         wav = wavelets.wavelet(self.wavelet)
         return {
             "analysis": tuple(
@@ -125,7 +127,10 @@ class DestripePlan:
                     (self.height, self.width), wav, self.n_levels
                 )
             ),
-            "notch": self.notch_matrices(),
+            "notch_cat": tuple(
+                np.concatenate([bc.T, bn.T], axis=1)
+                for (bc, bn) in self.notch_matrices()
+            ),
         }
 
 
@@ -205,8 +210,7 @@ def _row_median(x: jax.Array) -> jax.Array:
 def _filter_level(
     ch: jax.Array,  # (B, h, w) horizontal-detail band
     is_cells: jax.Array,  # (B,) bool
-    bmat_cells: jax.Array,  # (w, w)
-    bmat_no_cells: jax.Array,  # (w, w)
+    bmat_cat: jax.Array,  # (w, 2w): [cells | no_cells] notch operators fused
     thr_cells: float,
     thr_no_cells: float,
 ) -> jax.Array:
@@ -224,9 +228,13 @@ def _filter_level(
     background_means = _row_median(background)
     background_inpainted = background + background_means * mask
 
-    filt_c = fft_notch.apply_notch(background_inpainted, bmat_cells)
-    filt_n = fft_notch.apply_notch(background_inpainted, bmat_no_cells)
-    background_filtered = jnp.where(is_cells[:, None, None], filt_c, filt_n)
+    w = ch.shape[-1]
+    both = jnp.matmul(
+        background_inpainted, bmat_cat, precision=jax.lax.Precision.HIGHEST
+    )
+    background_filtered = jnp.where(
+        is_cells[:, None, None], both[..., :w], both[..., w:]
+    )
 
     return foreground + background_filtered * (1.0 - mask)
 
@@ -263,13 +271,20 @@ def destripe_batch(
     )
     approx, details = coeffs[0], coeffs[1:]
 
+    if "notch_cat" in consts:
+        notches = consts["notch_cat"]
+    else:  # older pytree layout: per-level (cells, no_cells) pairs
+        notches = [
+            jnp.concatenate([jnp.asarray(bc).T, jnp.asarray(bn).T], axis=1)
+            for (bc, bn) in consts["notch"]
+        ]
+
     filtered = [approx]
-    for (ch, cv, cd), (bm_c, bm_n) in zip(details, consts["notch"]):
+    for (ch, cv, cd), bm_cat in zip(details, notches):
         ch_f = _filter_level(
             ch,
             is_cells,
-            jnp.asarray(bm_c),
-            jnp.asarray(bm_n),
+            jnp.asarray(bm_cat),
             plan.cells.max_threshold,
             plan.no_cells.max_threshold,
         )
