@@ -35,7 +35,7 @@ import numpy as np
 
 from . import fft_notch
 from . import wavelets
-from .otsu import threshold_otsu
+from .otsu import threshold_otsu_batch
 from .wavelets import wavedec2, wavedec2_shapes, waverec2, wavelet
 
 __all__ = [
@@ -217,7 +217,7 @@ def _filter_level(
     ch_sq = ch * ch
     ch_power = jnp.sqrt(ch_sq)
 
-    otsu_sqrt = jnp.sqrt(jax.vmap(threshold_otsu)(ch_sq))  # (B,)
+    otsu_sqrt = jnp.sqrt(threshold_otsu_batch(ch_sq))  # (B,)
     max_thr = jnp.where(is_cells, thr_cells, thr_no_cells)
     threshold = jnp.minimum(max_thr, otsu_sqrt)[:, None, None]
 

@@ -1,0 +1,112 @@
+"""
+Pallas TPU kernel: batched 256-bin histograms for the Otsu threshold.
+
+The XLA formulation (broadcast-compare-reduce, otsu.py) costs ~512 VPU ops
+per element and measures ~17 ms/step at production batch — the second
+hottest stage of the destripe kernel. This kernel splits the 8-bit bin index
+into high/low nibbles and computes the histogram as a 16x16 one-hot OUTER
+PRODUCT on the MXU:
+
+    hist[16*h + l] = sum_n [hi_n == h] * [lo_n == l]
+                   = (HiOneHot^T @ LoOneHot)[h, l]
+
+so each element costs ~32 VPU compare ops to build the two (tile, 16) bf16
+one-hots in VMEM plus negligible MXU work. Counts are exact: one-hot
+products are 0/1 and accumulate in float32 (exact below 2^24).
+
+Bin-index math reproduces otsu.py bit-for-bit: idx = (x - lo) / span * 256,
+floored and clipped. Lane padding is NaN: NaN indices compare False in both
+one-hots and contribute nothing.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["histogram256_batch", "available"]
+
+_ROWS = 8  # tile rows per grid step
+
+
+def available() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _kernel(stats_ref, x_ref, out_ref):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    lo = stats_ref[b, 0]
+    span = stats_ref[b, 1]
+
+    x = x_ref[0]  # (ROWS, Wp)
+    idx = jnp.floor((x - lo) / span * 256.0)
+    idx = jnp.clip(idx, 0.0, 255.0)  # NaN pads stay NaN (clip keeps NaN)
+    hi = jnp.floor(idx / 16.0)
+    lo16 = idx - hi * 16.0
+
+    # Mosaic supports no in-kernel reshapes: walk the ROWS sublanes, build
+    # (16, Wp) one-hots by broadcast compare, and contract over lanes on the
+    # MXU. bf16 one-hot products are exact 0/1; accumulation is f32.
+    bins = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0).astype(jnp.float32)
+
+    part = jnp.zeros((16, 16), jnp.float32)
+    for r in range(x.shape[0]):  # static unroll (ROWS is small)
+        hi_oh = (bins == hi[r : r + 1, :]).astype(jnp.bfloat16)  # (16, Wp)
+        lo_oh = (bins == lo16[r : r + 1, :]).astype(jnp.bfloat16)
+        part = part + jax.lax.dot_general(
+            hi_oh,
+            lo_oh,
+            dimension_numbers=(((1,), (1,)), ((), ())),  # contract lanes
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[0] = part
+
+    @pl.when(t != 0)
+    def _():
+        out_ref[0] = out_ref[0] + part
+
+
+def histogram256_batch(x: jax.Array, lo: jax.Array, span: jax.Array,
+                       interpret: bool = False) -> jax.Array:
+    """Per-plane 256-bin histograms.
+
+    x: (B, H, W) float32; lo/span: (B,) plane min and (max - min, guarded).
+    Returns (B, 256) float32 counts, bit-identical binning to
+    otsu.histogram_fixed_bins.
+    """
+    B, H, W = x.shape
+    Wp = -(-W // 128) * 128
+    Hp = -(-H // _ROWS) * _ROWS
+    if Wp != W or Hp != H:
+        x = jnp.pad(
+            x,
+            [(0, 0), (0, Hp - H), (0, Wp - W)],
+            constant_values=jnp.nan,
+        )
+    stats = jnp.stack([lo, span], axis=-1).astype(jnp.float32)  # (B, 2)
+
+    n_tiles = Hp // _ROWS
+    out = pl.pallas_call(
+        _kernel,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full (B, 2) stats table
+            pl.BlockSpec(
+                (1, _ROWS, Wp), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 16, 16), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 16, 16), jnp.float32),
+        interpret=interpret,
+    )(stats, x)
+    return out.reshape(B, 256)

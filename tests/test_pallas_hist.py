@@ -1,0 +1,45 @@
+"""Pallas one-hot MXU histogram kernel: interpret-mode equivalence."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+jnp = jax.numpy
+
+from aind_smartspim_destripe_tpu.ops.otsu import (
+    histogram_fixed_bins,
+    threshold_otsu,
+    threshold_otsu_batch,
+)
+from aind_smartspim_destripe_tpu.ops.pallas_hist import histogram256_batch
+
+
+@pytest.mark.parametrize("shape", [(2, 16, 128), (3, 13, 130), (1, 64, 100)])
+def test_histogram_matches_xla(shape):
+    rng = np.random.default_rng(0)
+    x = (rng.normal(size=shape) ** 2).astype(np.float32)
+    lo = x.reshape(shape[0], -1).min(axis=1)
+    hi = x.reshape(shape[0], -1).max(axis=1)
+    span = np.where(hi > lo, hi - lo, 1.0)
+    got = np.asarray(
+        histogram256_batch(jnp.asarray(x), jnp.asarray(lo), jnp.asarray(span),
+                           interpret=True)
+    )
+    for b in range(shape[0]):
+        want, _ = histogram_fixed_bins(jnp.asarray(x[b]))
+        np.testing.assert_array_equal(got[b], np.asarray(want))
+        assert got[b].sum() == x[b].size  # NaN padding contributed nothing
+
+
+def test_threshold_otsu_batch_fallback_matches_single():
+    rng = np.random.default_rng(1)
+    x = (rng.normal(size=(4, 32, 40)) ** 2).astype(np.float32)
+    got = np.asarray(threshold_otsu_batch(jnp.asarray(x)))
+    want = np.asarray(jax.vmap(threshold_otsu)(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_constant_plane():
+    x = jnp.full((2, 8, 128), 5.0)
+    th = np.asarray(threshold_otsu_batch(x))
+    np.testing.assert_allclose(th, [5.0, 5.0])
