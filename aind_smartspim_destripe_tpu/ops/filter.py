@@ -189,10 +189,23 @@ def classify_planes(
 
 
 def _row_median(x: jax.Array) -> jax.Array:
-    """Exact median over the last axis, keepdims. Unlike jnp.median (which
-    routes through quantile and emits a stable (f32, s32) tuple sort — the
-    single hottest op in the step profile), this sorts values only: same
-    result, ~2x cheaper on TPU."""
+    """Exact median over the last axis, keepdims.
+
+    On TPU: sort-free Pallas radix bisection (ops/pallas_median.py) — one
+    VMEM pass instead of a bitonic sort. Elsewhere: a values-only lax.sort
+    (still ~2x cheaper than jnp.median's stable (f32, s32) tuple sort). Both
+    are exact."""
+    import os
+
+    if (
+        jax.default_backend() == "tpu"
+        and x.dtype == jnp.float32
+        and os.environ.get("DESTRIPE_NO_PALLAS", "0") != "1"
+    ):
+        from .pallas_median import row_median_batch
+
+        return row_median_batch(x)
+
     n = x.shape[-1]
     s = jax.lax.sort(x, dimension=x.ndim - 1, is_stable=False)
     if n % 2:
