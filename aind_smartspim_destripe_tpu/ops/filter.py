@@ -243,7 +243,7 @@ def _filter_level(
 
     w = ch.shape[-1]
     both = jnp.matmul(
-        background_inpainted, bmat_cat, precision=jax.lax.Precision.HIGHEST
+        background_inpainted, bmat_cat, precision=jax.lax.Precision.HIGH
     )
     background_filtered = jnp.where(
         is_cells[:, None, None], both[..., :w], both[..., w:]
