@@ -121,7 +121,7 @@ class StreamingDestriper:
         darkfield: Optional[np.ndarray] = None,
         microscope_high_int: float = 2500.0,
         slab: int = 64,
-        device_batch: int = 32,
+        device_batch: int = 64,
         prefetch: int = 2,
         io_threads: int = 0,
         logger: Optional[logging.Logger] = None,
