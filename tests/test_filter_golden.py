@@ -254,3 +254,17 @@ def test_hemisphere_flatfield_lookup():
         get_hemisphere_flatfield("999999_461360", cfg, flats)
     with pytest.raises(KeyError):
         get_hemisphere_flatfield("471320_999999", cfg, flats)
+
+
+def test_destripe_with_db2_wavelet():
+    """Non-default wavelet through the full kernel vs the golden oracle."""
+    img = synthetic_plane(80, 96, seed=11)
+    cfg = dict(wavelet="db2", level=2, sigma=64, max_threshold=6)
+    want = G.log_space_fft_filtering_ref(
+        img.astype(np.float64), wavelet_name="db2", level=2, sigma=64,
+        max_threshold=6,
+    )
+    got = log_space_fft_filtering(img, **cfg)
+    u16g = np.clip(got, 0, 65535).astype(np.uint16)
+    u16w = np.clip(want, 0, 65535).astype(np.uint16)
+    assert psnr(u16g, u16w) > 80
