@@ -103,29 +103,40 @@ class DestripePlan:
         """All large operator matrices as a pytree of numpy arrays, meant to
         be passed INTO a jitted kernel (device-resident) rather than baked
         into the graph — multi-MB HLO literal constants stall XLA's
-        compiler. Keys: analysis (finest-first, matching wavedec2 order),
-        synthesis (coarsest-first, matching waverec2 order), notch
-        (coarsest-first, (cells, no_cells) pairs).
+        compiler.
 
         The dense per-geometry DWT operators measure ~45% faster end-to-end
         on TPU than the FLOP-cheaper blocked shift-invariant path (transposes
-        and misaligned windows dominate the latter); destripe_batch therefore
-        uses the dense path when constants are supplied. The two per-level
-        notch operators (cells/no-cells sigmas) are fused column-wise into
-        one (w, 2w) matrix so both bands come from a single MXU matmul."""
+        and misaligned windows dominate the latter). On top of that,
+        destripe_batch exploits the filter's structure:
+
+        - only cA (to recurse) and cH (to filter) are ever consumed, so the
+          analysis x-pass keeps just the lowpass rows (``an_x_lo``) — half
+          the x-pass FLOPs;
+        - by perfect reconstruction, waverec2 of the *unfiltered* pyramid is
+          the input itself, so synthesis reduces to propagating the delta
+          ``cH' - cH`` (plus the accumulated coarser correction) through the
+          lowpass-x synthesis half (``syn_y``, ``syn_x_lo``) and adding it to
+          log1p(x) — half the synthesis FLOPs.
+
+        Keys (all finest-first for analysis, coarsest-first for synthesis):
+        an_y (2L_h x h), an_x_lo (L_w x w), syn_y (h_t x 2L_h, output rows
+        pre-trimmed to the crop-rule target), syn_x_lo (w_t x L_w), and
+        notch_cat ((w, 2w): cells | no_cells notch operators fused so both
+        bands come from a single MXU matmul)."""
         wav = wavelets.wavelet(self.wavelet)
+        an = wavelets.analysis_operators(
+            (self.height, self.width), wav, self.n_levels
+        )
+        syn = wavelets.synthesis_operators(
+            (self.height, self.width), wav, self.n_levels
+        )
         return {
-            "analysis": tuple(
-                tuple(p)
-                for p in wavelets.analysis_operators(
-                    (self.height, self.width), wav, self.n_levels
-                )
-            ),
-            "synthesis": tuple(
-                tuple(p)
-                for p in wavelets.synthesis_operators(
-                    (self.height, self.width), wav, self.n_levels
-                )
+            "an_y": tuple(p[0] for p in an),
+            "an_x_lo": tuple(p[1][: p[1].shape[0] // 2] for p in an),
+            "syn_y": tuple(p[0] for p in syn),
+            "syn_x_lo": tuple(
+                p[1][:, : p[1].shape[1] // 2] for p in syn
             ),
             "notch_cat": tuple(
                 np.concatenate([bc.T, bn.T], axis=1)
@@ -276,24 +287,26 @@ def destripe_batch(
         # Degenerate tiny-image case: wavedec2 returns [x] untouched.
         return jnp.exp(xlog) + 1.0
 
-    wav = wavelet(plan.wavelet)
     if consts is None:
         consts = plan.constants()
-    coeffs = wavedec2(
-        xlog, wav, plan.n_levels, operators=consts.get("analysis")
-    )
-    approx, details = coeffs[0], coeffs[1:]
+    P = jax.lax.Precision.HIGH
 
-    if "notch_cat" in consts:
-        notches = consts["notch_cat"]
-    else:  # older pytree layout: per-level (cells, no_cells) pairs
-        notches = [
-            jnp.concatenate([jnp.asarray(bc).T, jnp.asarray(bn).T], axis=1)
-            for (bc, bn) in consts["notch"]
-        ]
+    # Analysis, finest -> coarsest. Only cA (to recurse) and cH (to filter)
+    # are consumed, so the x-pass applies the lowpass half only.
+    chs = []
+    a = xlog
+    for an_y, an_x_lo in zip(consts["an_y"], consts["an_x_lo"]):
+        t = jnp.einsum("ih,...hw->...iw", jnp.asarray(an_y), a, precision=P)
+        lox = jnp.einsum(
+            "...iw,jw->...ij", t, jnp.asarray(an_x_lo), precision=P
+        )
+        L_h = lox.shape[-2] // 2
+        a = lox[..., :L_h, :]  # aa: lowpass-y, lowpass-x
+        chs.append(lox[..., L_h:, :])  # cH: highpass-y, lowpass-x
 
-    filtered = [approx]
-    for (ch, cv, cd), bm_cat in zip(details, notches):
+    # Filter each cH band (coarsest first, matching the notch operators).
+    deltas = []
+    for ch, bm_cat in zip(reversed(chs), consts["notch_cat"]):
         ch_f = _filter_level(
             ch,
             is_cells,
@@ -301,10 +314,30 @@ def destripe_batch(
             plan.cells.max_threshold,
             plan.no_cells.max_threshold,
         )
-        filtered.append((ch_f, cv, cd))
+        deltas.append(ch_f - ch)
 
-    y = waverec2(filtered, wav, operators=consts.get("synthesis"))
-    y = y[..., : plan.height, : plan.width]
+    # Delta synthesis, coarsest -> finest: by perfect reconstruction the
+    # unfiltered pyramid reconstructs to xlog exactly, so only the
+    # correction [accumulated coarser correction; cH delta] needs the
+    # synthesis operators — and only their lowpass-x half.
+    corr = None
+    for delta, syn_y, syn_x_lo in zip(
+        deltas, consts["syn_y"], consts["syn_x_lo"]
+    ):
+        syn_y = jnp.asarray(syn_y)
+        L_h = syn_y.shape[-1] // 2
+        if corr is None:
+            stacked_y = jnp.einsum(
+                "ih,...hw->...iw", syn_y[:, L_h:], delta, precision=P
+            )
+        else:
+            up = jnp.concatenate([corr[..., :L_h, :], delta], axis=-2)
+            stacked_y = jnp.einsum("ih,...hw->...iw", syn_y, up, precision=P)
+        corr = jnp.einsum(
+            "...iw,jw->...ij", stacked_y, jnp.asarray(syn_x_lo), precision=P
+        )
+
+    y = xlog + corr
     return jnp.exp(y) + 1.0
 
 
