@@ -36,7 +36,7 @@ import numpy as np
 from . import fft_notch
 from . import wavelets
 from .otsu import threshold_otsu_batch
-from .wavelets import wavedec2, wavedec2_shapes, waverec2, wavelet
+from .wavelets import wavedec2_shapes, wavelet
 
 __all__ = [
     "FilterConfig",
