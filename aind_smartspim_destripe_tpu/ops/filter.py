@@ -5,15 +5,21 @@ Rebuilds reference filtering.py:139-224 (`log_space_fft_filtering`) and
 :417-491 (`filter_stripes`) TPU-first:
 
 - A *plan* is built once per image geometry (H, W, wavelet, level, sigmas):
-  the static per-level shape ladder plus precomputed packed-FFT notch
-  operators (see ops/fft_notch.py). Everything under jit has static shapes.
-- Planes are processed as a batch (B, H, W): the wavelet levels are strided
-  MXU convolutions, the notch is an MXU matmul, Otsu/median/masking are fused
-  VPU element-wise/reduce work.
+  the static per-level shape ladder plus precomputed banded DWT and
+  packed-FFT notch operators (see ops/wavelets.py, ops/fft_notch.py).
+  Everything under jit has static shapes.
+- Planes are processed as a batch (B, H, W): DWT levels and the notch are
+  dense-operator MXU matmuls (analysis keeps only the lowpass x-half, and
+  synthesis propagates just the cH deltas onto log1p(x) via perfect
+  reconstruction — see DestripePlan.constants); Otsu histograms and
+  inpainting medians run in Pallas kernels (ops/pallas_hist.py,
+  ops/pallas_median.py) with bit-identical results; the rest is fused VPU
+  element-wise/reduce work.
 - The per-plane cells/no-cells branch (reference filtering.py:462-467) only
   changes two scalars (sigma, max_threshold) when both configs share a
   wavelet/level — so instead of control flow we compute both notch products
-  and select per plane, which XLA handles without divergence.
+  in one fused matmul and select per plane, which XLA handles without
+  divergence.
 
 Replicated reference quirks (they define the golden output):
 - ``exp(y) + 1.0`` inverse instead of expm1 (filtering.py:222),
