@@ -232,6 +232,20 @@ def _load_native():
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     so = os.path.join(here, "csrc", "libdestripe_runtime.so")
     if not os.path.exists(so):
+        # Best-effort one-time build (g++ + libzstd are part of the image);
+        # the pure-python codec remains the fallback.
+        import subprocess
+
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.join(here, "csrc")],
+                capture_output=True,
+                timeout=120,
+                check=False,
+            )
+        except Exception:
+            pass
+    if not os.path.exists(so):
         _native = False
         return False
     lib = ctypes.CDLL(so)
