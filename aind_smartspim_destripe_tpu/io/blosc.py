@@ -78,30 +78,29 @@ def byte_unshuffle(data: bytes, typesize: int) -> bytes:
 
 
 def bit_shuffle(data: bytes, typesize: int) -> bytes:
-    """Bit-plane transpose within each typesize element group (c-blosc
-    bitshuffle). Vectorized via numpy unpackbits."""
+    """c-blosc bitshuffle of one block: a full bit-plane transpose (bit b of
+    every element grouped, LSB-first packing) — but only when the block holds
+    a whole number of 8-element groups. c-blosc's shuffle.c passes any block
+    with ``len % (typesize*8) != 0`` through UNCHANGED (verified empirically
+    against libblosc with crafted raw-stored frames), so we must too."""
     buf = np.frombuffer(data, dtype=np.uint8)
     n = buf.size
+    if typesize < 1 or n % (typesize * 8) != 0:
+        return bytes(data)
     nelem = n // typesize
-    main = buf[: nelem * typesize]
-    bits = np.unpackbits(main.reshape(nelem, typesize), axis=None, bitorder="little")
+    bits = np.unpackbits(buf.reshape(nelem, typesize), axis=None, bitorder="little")
     bits = bits.reshape(nelem, typesize * 8).T
-    out = np.empty(n, dtype=np.uint8)
-    out[: nelem * typesize] = np.packbits(bits, bitorder="little")
-    out[nelem * typesize :] = buf[nelem * typesize :]
-    return out.tobytes()
+    return np.packbits(bits, bitorder="little").tobytes()
 
 
 def bit_unshuffle(data: bytes, typesize: int) -> bytes:
     buf = np.frombuffer(data, dtype=np.uint8)
     n = buf.size
+    if typesize < 1 or n % (typesize * 8) != 0:
+        return bytes(data)
     nelem = n // typesize
-    main = buf[: nelem * typesize]
-    bits = np.unpackbits(main, bitorder="little").reshape(typesize * 8, nelem).T
-    out = np.empty(n, dtype=np.uint8)
-    out[: nelem * typesize] = np.packbits(bits.reshape(-1), bitorder="little")
-    out[nelem * typesize :] = buf[nelem * typesize :]
-    return out.tobytes()
+    bits = np.unpackbits(buf, bitorder="little").reshape(typesize * 8, nelem).T
+    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
 
 
 # ---------------------------------------------------------------------------
@@ -109,12 +108,20 @@ def bit_unshuffle(data: bytes, typesize: int) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def _pick_blocksize(nbytes: int, typesize: int, requested: int = 0) -> int:
+def _pick_blocksize(nbytes: int, typesize: int, requested: int = 0, shuffle: int = SHUFFLE) -> int:
     bs = requested or _DEFAULT_BLOCKSIZE
     bs = max(typesize, min(bs, nbytes)) if nbytes else typesize
-    if typesize > 1:
-        bs -= bs % typesize  # keep blocks element-aligned
-    return max(bs, typesize)
+    # Keep blocks element-aligned; for bitshuffle align to whole 8-element
+    # groups, since c-blosc skips the transpose on unaligned blocks.
+    align = typesize * 8 if shuffle == BITSHUFFLE else typesize
+    if align > 1:
+        bs -= bs % align
+    bs = max(bs, align)
+    # c-blosc rejects frames whose header blocksize exceeds nbytes; a short
+    # unaligned block simply skips the shuffle (see bit_shuffle).
+    if nbytes and bs > nbytes:
+        bs = nbytes
+    return bs
 
 
 def compress_py(
@@ -131,7 +138,7 @@ def compress_py(
         raise RuntimeError("zstandard module unavailable")
     raw = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, (bytes, bytearray)) else np.frombuffer(data, np.uint8)
     nbytes = raw.size
-    bs = _pick_blocksize(nbytes, typesize)
+    bs = _pick_blocksize(nbytes, typesize, blocksize, shuffle)
     nblocks = max(1, -(-nbytes // bs))
 
     # zstd level mapping: c-blosc maps clevel 1..9 onto the codec's range;

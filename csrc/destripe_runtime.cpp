@@ -50,19 +50,76 @@ void byte_unshuffle(const uint8_t* src, uint8_t* dst, size_t n, size_t ts) {
   std::memcpy(dst + nelem * ts, src + nelem * ts, n - nelem * ts);
 }
 
-size_t pick_blocksize(size_t nbytes, size_t ts) {
+// 8x8 bit-matrix transpose (Hacker's Delight). With rows packed as the bytes
+// of x (row i = byte i, bit j = column j), output byte b holds, at bit j,
+// bit b of input byte j.
+inline uint64_t trans_bit_8x8(uint64_t x) {
+  uint64_t t;
+  t = (x ^ (x >> 7)) & 0x00AA00AA00AA00AAULL; x = x ^ t ^ (t << 7);
+  t = (x ^ (x >> 14)) & 0x0000CCCC0000CCCCULL; x = x ^ t ^ (t << 14);
+  t = (x ^ (x >> 28)) & 0x00000000F0F0F0F0ULL; x = x ^ t ^ (t << 28);
+  return x;
+}
+
+// c-blosc bitshuffle of one block: full bit-plane transpose (bit b of every
+// element grouped, LSB-first) — but ONLY when the block is a whole number of
+// 8-element groups; c-blosc's shuffle.c passes unaligned blocks through
+// unchanged (verified against libblosc with crafted raw-stored frames).
+void bit_shuffle(const uint8_t* src, uint8_t* dst, size_t n, size_t ts) {
+  if (ts < 1 || n % (ts * 8) != 0) { std::memcpy(dst, src, n); return; }
+  const size_t ngroups = n / (ts * 8);
+  for (size_t g = 0; g < ngroups; ++g) {
+    const uint8_t* base = src + g * 8 * ts;
+    for (size_t k = 0; k < ts; ++k) {
+      uint64_t x = 0;
+      for (size_t j = 0; j < 8; ++j)
+        x |= uint64_t(base[j * ts + k]) << (8 * j);
+      x = trans_bit_8x8(x);
+      for (size_t b = 0; b < 8; ++b) {
+        dst[(k * 8 + b) * ngroups + g] = uint8_t(x & 0xff);
+        x >>= 8;
+      }
+    }
+  }
+}
+
+void bit_unshuffle(const uint8_t* src, uint8_t* dst, size_t n, size_t ts) {
+  if (ts < 1 || n % (ts * 8) != 0) { std::memcpy(dst, src, n); return; }
+  const size_t ngroups = n / (ts * 8);
+  for (size_t g = 0; g < ngroups; ++g) {
+    uint8_t* base = dst + g * 8 * ts;
+    for (size_t k = 0; k < ts; ++k) {
+      uint64_t x = 0;
+      for (size_t b = 0; b < 8; ++b)
+        x |= uint64_t(src[(k * 8 + b) * ngroups + g]) << (8 * b);
+      x = trans_bit_8x8(x);
+      for (size_t j = 0; j < 8; ++j) {
+        base[j * ts + k] = uint8_t(x & 0xff);
+        x >>= 8;
+      }
+    }
+  }
+}
+
+size_t pick_blocksize(size_t nbytes, size_t ts, bool bitshuf) {
   size_t bs = std::min(kDefaultBlock, nbytes ? nbytes : size_t(1));
-  bs = std::max(bs, ts);
-  if (ts > 1) bs -= bs % ts;
-  return std::max(bs, ts);
+  // Element-aligned blocks; bitshuffle wants whole 8-element groups so the
+  // non-final blocks actually get transposed.
+  const size_t align = bitshuf ? ts * 8 : ts;
+  bs = std::max(bs, align);
+  if (align > 1) bs -= bs % align;
+  bs = std::max(bs, align);
+  // c-blosc rejects frames whose header blocksize exceeds nbytes.
+  if (nbytes && bs > nbytes) bs = nbytes;
+  return bs;
 }
 
 }  // namespace
 
 extern "C" {
 
-// Encode one blosc1 frame. shuffle: 0=none, 1=byte. Returns frame length or
-// negative on error (-1 dest too small, -2 bad args).
+// Encode one blosc1 frame. shuffle: 0=none, 1=byte, 2=bit. Returns frame
+// length or negative on error (-1 dest too small, -2 bad args).
 long long blosc1_compress(const char* src_, size_t nbytes, int typesize,
                           int clevel, int shuffle, char* dst_, size_t dstsize) {
   const uint8_t* src = reinterpret_cast<const uint8_t*>(src_);
@@ -71,12 +128,14 @@ long long blosc1_compress(const char* src_, size_t nbytes, int typesize,
   if (dstsize < kHeaderSize + nbytes + 4096) return -1;
 
   const size_t ts = size_t(typesize);
-  const size_t bs = pick_blocksize(nbytes, ts);
+  const bool do_bitshuffle = (shuffle == 2);
+  const size_t bs = pick_blocksize(nbytes, ts, do_bitshuffle);
   const size_t nblocks = nbytes ? (nbytes + bs - 1) / bs : 1;
 
   uint8_t flags = 0x10;  // non-split layout
   const bool do_shuffle = (shuffle == 1) && typesize > 1;
   if (do_shuffle) flags |= 0x01;
+  if (do_bitshuffle) flags |= 0x04;
   flags |= 4 << 5;  // zstd
 
   dst[0] = 2; dst[1] = 1; dst[2] = flags; dst[3] = uint8_t(typesize);
@@ -93,6 +152,9 @@ long long blosc1_compress(const char* src_, size_t nbytes, int typesize,
     const uint8_t* blk = src + off;
     if (do_shuffle) {
       byte_shuffle(blk, work.data(), neblock, ts);
+      blk = work.data();
+    } else if (do_bitshuffle) {
+      bit_shuffle(blk, work.data(), neblock, ts);
       blk = work.data();
     }
     const size_t csize =
@@ -146,7 +208,8 @@ long long blosc1_decompress(const char* src_, size_t srclen, char* dst_,
   const size_t nblocks = nbytes ? (nbytes + bs - 1) / bs : 1;
   if (srclen < kHeaderSize + 4 * nblocks) return -2;
 
-  std::vector<uint8_t> work((flags & 0x01) ? bs : 0);
+  const bool shuffled = (flags & 0x01) || (flags & 0x04);
+  std::vector<uint8_t> work(shuffled ? bs : 0);
   for (size_t b = 0; b < nblocks; ++b) {
     const size_t out_off = b * bs;
     const size_t neblock = std::min(bs, nbytes - out_off);
@@ -154,7 +217,7 @@ long long blosc1_decompress(const char* src_, size_t srclen, char* dst_,
     if (boff + 4 > srclen) return -2;
     const size_t csize = load_u32(src + boff);
     if (boff + 4 + csize > srclen) return -2;
-    uint8_t* out = (flags & 0x01) ? work.data() : dst + out_off;
+    uint8_t* out = shuffled ? work.data() : dst + out_off;
     if (csize == neblock) {
       std::memcpy(out, src + boff + 4, neblock);
     } else {
@@ -162,6 +225,7 @@ long long blosc1_decompress(const char* src_, size_t srclen, char* dst_,
       if (ZSTD_isError(r) || r != neblock) return -4;
     }
     if (flags & 0x01) byte_unshuffle(work.data(), dst + out_off, neblock, ts);
+    else if (flags & 0x04) bit_unshuffle(work.data(), dst + out_off, neblock, ts);
   }
   return (long long)nbytes;
 }

@@ -62,12 +62,41 @@ def test_system_blosc_decodes_our_frames(name):
 
 @pytest.mark.parametrize("shuffle", [blosc.NOSHUFFLE, blosc.SHUFFLE, blosc.BITSHUFFLE])
 def test_we_decode_system_blosc_frames(shuffle):
-    """SmartSPIM input tiles are written by c-blosc; we must read them."""
+    """SmartSPIM input tiles are written by c-blosc; we must read them —
+    through BOTH the python codec and the default (native-first) path."""
     if blosc.load_system_blosc() is None:
         pytest.skip("system libblosc not present")
     data = payloads()["smooth"]
     frame = blosc.system_compress(data, typesize=2, clevel=3, shuffle=shuffle)
     assert blosc.decompress_py(frame) == data
+    assert blosc.decompress(frame) == data
+
+
+@pytest.mark.parametrize("shuffle", [blosc.NOSHUFFLE, blosc.SHUFFLE, blosc.BITSHUFFLE])
+@pytest.mark.parametrize(
+    "n,ts",
+    [(8, 8), (17, 8), (100, 3), (999, 1), (1001, 2), (2**17, 2), (2**18 + 12, 2)],
+)
+def test_interop_matrix(shuffle, n, ts):
+    """4-way interop at awkward sizes (ragged blocks, nelem % 8 != 0, frames
+    smaller than one 8-element group): native<->python<->system c-blosc.
+
+    Regression for the round-1 bitshuffle bug: c-blosc bitshuffle is an
+    all-or-nothing per block (blocks not a multiple of typesize*8 bytes pass
+    through unshuffled), which both our codecs now reproduce."""
+    rng = np.random.default_rng(n * 31 + ts)
+    data = rng.integers(0, 300, size=n + 1, dtype=np.uint16).tobytes()[:n]
+    py_frame = blosc.compress_py(data, typesize=ts, clevel=3, shuffle=shuffle)
+    nat_frame = blosc.compress(data, typesize=ts, clevel=3, shuffle=shuffle)
+    for frame in (py_frame, nat_frame):
+        assert blosc.decompress_py(frame) == data
+        assert blosc.decompress(frame) == data
+        if blosc.load_system_blosc() is not None:
+            assert blosc.system_decompress(frame, n) == data
+    if blosc.load_system_blosc() is not None:
+        sys_frame = blosc.system_compress(data, typesize=ts, clevel=3, shuffle=shuffle)
+        assert blosc.decompress_py(sys_frame) == data
+        assert blosc.decompress(sys_frame) == data
 
 
 def test_default_backend_roundtrip():
