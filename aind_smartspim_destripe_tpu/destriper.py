@@ -170,8 +170,16 @@ def batch_filter(
 
     io_pool = ThreadPoolExecutor(max_workers=n_io)
 
-    # Stage 1: threaded reads (3 attempts each, reference retry semantics)
+    # Streaming with bounded memory (round-1 weak #6 fix): at most
+    # ``read_ahead`` decoded images wait for the device, one partial bucket
+    # per geometry, and at most ``max_writes`` encoded images wait for disk —
+    # the reference's Pool.imap(chunksize) had the same property
+    # (destriper.py:366-373); the round-1 rebuild drained all reads first.
+    read_ahead = max(2 * batch, 2 * n_io)
+    max_writes = 4 * n_io
+
     def read_one(p):
+        # 3 attempts each, reference retry semantics
         for attempt in range(3):
             try:
                 img = imread(p)
@@ -184,63 +192,83 @@ def batch_filter(
                     return p, None
                 time.sleep(0.05)
 
-    loaded = [r for r in io_pool.map(read_one, img_paths) if r[1] is not None]
+    from collections import deque
 
-    # Stage 2: group by geometry/dtype -> device batches
-    groups = defaultdict(list)
-    for p, img in loaded:
-        groups[(img.shape, img.dtype)].append((p, img))
+    plans = {}
+    write_futures = deque()
 
-    write_futures = []
-    for (shape, dtype), items in groups.items():
-        if len(shape) != 2:
-            # odd inputs (e.g. RGB pngs) fall back to per-image host path
-            for p, img in items:
-                o = output_path.joinpath(Path(p).relative_to(input_path))
-                read_filter_save(
-                    output_path, p, o, high_int_filt_params, low_int_filt_params,
-                    shadow_correction, compression, output_format, output_dtype,
-                )
-            continue
+    def process_batch(shape, items):
+        plan = plans.get(shape)
+        if plan is None:
+            plan = plans[shape] = build_plan(shape[0], shape[1], cells_cfg, no_cells_cfg)
+        imgs = np.stack([im for _, im in items]).astype(np.float32)
+        filtered = np.asarray(destripe_batch(plan, imgs, 2700.0))
 
-        plan = build_plan(shape[0], shape[1], cells_cfg, no_cells_cfg)
-        for i in range(0, len(items), batch):
-            chunk = items[i : i + batch]
-            imgs = np.stack([im for _, im in chunk]).astype(np.float32)
-            filtered = np.asarray(destripe_batch(plan, imgs, 2700.0))
-
-            for (p, img), plane in zip(chunk, filtered):
-                out_img = plane
-                if shadow_correction is not None:
-                    flat = shadow_correction.get("flatfield")
-                    dark = shadow_correction.get("darkfield")
-                    if not shadow_correction.get("retrospective"):
-                        flat = get_hemisphere_flatfield(
-                            input_tile_path=p,
-                            tile_config=shadow_correction.get("tile_config"),
-                            flatfields=flat,
-                            zarr=False,
-                        )
-                    out_img = np.asarray(
-                        flatfield_correction(out_img, flat, dark)
+        for (p, img), plane in zip(items, filtered):
+            out_img = plane
+            if shadow_correction is not None:
+                flat = shadow_correction.get("flatfield")
+                dark = shadow_correction.get("darkfield")
+                if not shadow_correction.get("retrospective"):
+                    flat = get_hemisphere_flatfield(
+                        input_tile_path=p,
+                        tile_config=shadow_correction.get("tile_config"),
+                        flatfields=flat,
+                        zarr=False,
                     )
-                dtype_out = output_dtype if isinstance(output_dtype, type) else img.dtype
-                o = output_path.joinpath(Path(p).relative_to(input_path))
+                out_img = np.asarray(flatfield_correction(out_img, flat, dark))
+            dtype_out = output_dtype if isinstance(output_dtype, type) else img.dtype
+            o = output_path.joinpath(Path(p).relative_to(input_path))
 
-                def write(o=o, out_img=out_img, dtype_out=dtype_out):
-                    for _ in range(10):
-                        try:
-                            imsave(
-                                o, out_img.astype(dtype_out),
-                                compression=compression,
-                                output_format=output_format,
-                            )
-                        except OSError:
-                            logger.error(f"Retrying writing image in {o}...")
-                            continue
-                        break
+            def write(o=o, out_img=out_img, dtype_out=dtype_out):
+                for _ in range(10):
+                    try:
+                        imsave(
+                            o, out_img.astype(dtype_out),
+                            compression=compression,
+                            output_format=output_format,
+                        )
+                    except OSError:
+                        logger.error(f"Retrying writing image in {o}...")
+                        continue
+                    break
 
-                write_futures.append(io_pool.submit(write))
+            write_futures.append(io_pool.submit(write))
+        while len(write_futures) > max_writes:
+            write_futures.popleft().result()
+
+    groups = defaultdict(list)  # (shape, dtype) -> partial bucket, < batch items
+    pending_reads = deque()
+    path_iter = iter(img_paths)
+
+    def schedule_reads():
+        while len(pending_reads) < read_ahead:
+            p = next(path_iter, None)
+            if p is None:
+                return
+            pending_reads.append(io_pool.submit(read_one, p))
+
+    schedule_reads()
+    while pending_reads:
+        p, img = pending_reads.popleft().result()
+        schedule_reads()
+        if img is None:
+            continue
+        if img.ndim != 2:
+            # odd inputs (e.g. RGB pngs) fall back to the per-image host path
+            o = output_path.joinpath(Path(p).relative_to(input_path))
+            read_filter_save(
+                output_path, p, o, high_int_filt_params, low_int_filt_params,
+                shadow_correction, compression, output_format, output_dtype,
+            )
+            continue
+        key = (img.shape, img.dtype)
+        groups[key].append((p, img))
+        if len(groups[key]) == batch:
+            process_batch(key[0], groups.pop(key))
+
+    for (shape, _), items in groups.items():  # tail buckets
+        process_batch(shape, items)
 
     for f in write_futures:
         f.result()

@@ -173,9 +173,14 @@ def write_ome_ngff_metadata(
 ):
     """Write ``omero`` and ``multiscales`` attributes on a tile group
     (reference zarr_destriper.py:600-674). ``group`` is an io.zarr.ZarrGroup
-    (anything with dict-like ``attrs``)."""
+    (anything with dict-like ``attrs``). ``shape``/``chunksize`` may be 3-D
+    ZYX or 5-D TCZYX; the metadata itself is always written 5-D."""
     if metadata is None:
         metadata = {}
+    if not 3 <= len(shape) <= 5:
+        raise ValueError(f"expected 3-D..5-D shape, got {shape}")
+    shape = (1,) * (5 - len(shape)) + tuple(shape)
+    chunksize = (1,) * (5 - len(chunksize)) + tuple(chunksize)
 
     group.attrs["omero"] = build_omero(
         shape,

@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+import threading
 import time
 from collections import deque
 from concurrent.futures import Future, ThreadPoolExecutor
@@ -74,7 +75,12 @@ def make_device_step(plan: DestripePlan, microscope_high_int: float,
         filtered = destripe_batch(plan, images, microscope_high_int, consts)
         if with_flatfield:
             return flatfield_correction(filtered, flat, dark)
-        return filtered.astype(jnp.uint16)
+        # Reference parity: zarr_destriper.py:336 assigns the unclipped float
+        # into a uint16 zarr, which wraps modulo 2**16 via numpy astype
+        # (65537.0 -> 1, -1.0 -> 65535). A bare XLA astype would saturate
+        # instead, diverging on bright pixels — truncate and wrap explicitly.
+        wrapped = jnp.mod(jnp.trunc(filtered).astype(jnp.int32), 65536)
+        return wrapped.astype(jnp.uint16)
 
     return lambda images, flat, dark: step(plan, images, flat, dark, consts)
 
@@ -87,6 +93,11 @@ class _Journal:
         self.path = path
         self.meta = meta
         self.done = set()
+        # commit() runs on concurrent IO-pool writer threads; the lock keeps
+        # the set/snapshot/replace sequence atomic (an unlocked sorted() can
+        # see the set mutate mid-iteration, and two threads would race the
+        # same .tmp path).
+        self._lock = threading.Lock()
         if os.path.exists(path):
             try:
                 with open(path) as f:
@@ -97,11 +108,13 @@ class _Journal:
                 pass
 
     def commit(self, slab: tuple):
-        self.done.add(slab)
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"meta": self.meta, "slabs": sorted(self.done)}, f)
-        os.replace(tmp, self.path)
+        with self._lock:
+            self.done.add(slab)
+            snapshot = sorted(self.done)
+            tmp = self.path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"meta": self.meta, "slabs": snapshot}, f)
+            os.replace(tmp, self.path)
 
 
 class StreamingDestriper:
@@ -253,7 +266,12 @@ class StreamingDestriper:
         slabs = [(z0, min(z0 + self.slab, Z)) for z0 in range(0, Z, self.slab)]
 
         read_q: deque = deque()
-        writes: list[Future] = []
+        writes: deque[Future] = deque()
+        # Backpressure: each in-flight write pins a full uint16 slab (~400 MB
+        # at production geometry); without a bound, a slow store turns the
+        # pipeline into an OOM. Mirrors the reference's bounded queue
+        # (zarr_destriper.py:1136-1138).
+        max_inflight_writes = self.prefetch + 1
         next_read = 0
 
         def schedule_reads():
@@ -293,6 +311,8 @@ class StreamingDestriper:
                 return time.time() - t0
 
             writes.append(self.io.submit(write))
+            while len(writes) > max_inflight_writes:
+                stats.write_s += writes.popleft().result()
             stats.slabs += 1
             stats.planes += z1 - z0
             stats.pixels += (z1 - z0) * H * W

@@ -132,6 +132,7 @@ def execute_worker(
     shadow_correction: Optional[dict] = None,
     dataset_name: str = "",
     logger: Optional[logging.Logger] = None,
+    microscope_high_int: float = 2500.0,
 ):
     """Destripe one in-memory Z-block and write it to the output store
     (reference zarr_destriper.py:253-339 surface, for custom orchestration;
@@ -158,7 +159,7 @@ def execute_worker(
         destripe_batch(
             plan,
             block.astype(np.float32),
-            2500.0,
+            microscope_high_int,  # zarr-path default 2500 (reference :326)
             device_constants(plan),
         )
     )
@@ -247,11 +248,15 @@ def compute_multiscale(
     logger = logger or logging.getLogger(__name__)
     start_time = time()
 
+    # Channel metadata follows TCZYX semantics: pad the logical shape to 5-D
+    # first (pad_array_n_d), so a 3-D ZYX output yields one channel rather
+    # than shape[1]=Y bogus omero entries (round-1 bug).
+    shape5 = (1,) * (5 - len(output_zarr.shape)) + tuple(output_zarr.shape)
     channel_minmax = [
         (float(np.iinfo(np.uint16).min), float(np.iinfo(np.uint16).max))
-        for _ in range(output_zarr.shape[1])
+        for _ in range(shape5[1])
     ]
-    channel_startend = [(0.0, 350.0) for _ in range(output_zarr.shape[1])]
+    channel_startend = [(0.0, 350.0) for _ in range(shape5[1])]
 
     write_ome_ngff_metadata(
         group=zarr_group,
@@ -275,7 +280,11 @@ def compute_multiscale(
         new_shape = prev.shape[:-3] + tuple(
             s // f for s, f in zip(prev.shape[-3:], factors)
         )
-        chunks = tuple(min(c, s) for c, s in zip((1, 1, 64, 128, 128), new_shape))
+        # Align the chunk template to the TRAILING axes (ZYX last); zipping
+        # the 5-D template against a 3-D shape head-first produced (1,1,64)
+        # chunks for ZYX arrays (round-1 bug).
+        template = (1, 1, 64, 128, 128)[-len(new_shape):]
+        chunks = tuple(min(c, s) for c, s in zip(template, new_shape))
         dst = zarr_group.create_dataset(
             name=lvl,
             shape=new_shape,
@@ -532,9 +541,9 @@ def destripe_channel(
         )
 
         flatfield_path = None
-        for side, tiles in laser_tiles.items():
+        for side, side_tiles in laser_tiles.items():
             tile_path_stem = tile_path.stem.rsplit(".", 1)[0]
-            if tile_path_stem in tiles:
+            if tile_path_stem in side_tiles:
                 flatfield_path = estimated_channel_flats[int(side)]
                 break
         if flatfield_path is None:

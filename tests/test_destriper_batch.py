@@ -60,6 +60,52 @@ def test_batch_filter_mirrors_tree_and_filters(tmp_path):
     assert not (out / "destripe_log.txt").exists()
 
 
+def test_batch_filter_streams_with_bounded_readahead(tmp_path, monkeypatch):
+    """Reads must interleave with writes (bounded read-ahead), not drain the
+    whole tree into RAM first (round-1 weak #6)."""
+    import threading
+
+    inp, out, imgs = make_tree(tmp_path, n=24, h=32, w=40)
+    events = []
+    lock = threading.Lock()
+    real_imread, real_imsave = destriper.imread, destriper.imsave
+
+    def spy_imread(p, *a, **k):
+        with lock:
+            events.append("r")
+        return real_imread(p, *a, **k)
+
+    def spy_imsave(p, *a, **k):
+        with lock:
+            events.append("w")
+        return real_imsave(p, *a, **k)
+
+    monkeypatch.setattr(destriper, "imread", spy_imread)
+    monkeypatch.setattr(destriper, "imsave", spy_imsave)
+    destriper.batch_filter(
+        input_path=inp,
+        output_path=out,
+        workers=2,
+        chunks=2,
+        high_int_filt_params={"wavelet": "db3", "level": None, "sigma": 64, "max_threshold": 3},
+        low_int_filt_params={"wavelet": "db3", "level": None, "sigma": 128, "max_threshold": 12},
+        shadow_correction=None,
+    )
+    assert events.count("r") == 24 and events.count("w") == 24
+    # some write must start before the final read: streaming, not read-all
+    first_w = events.index("w")
+    assert first_w < len(events) - 1 and "r" in events[first_w:]
+    # outstanding (read - written) images stay bounded well below the tree size
+    outstanding = peak = 0
+    for e in events:
+        outstanding += 1 if e == "r" else -1
+        peak = max(peak, outstanding)
+    assert peak <= 16  # read_ahead(4) + bucket(2) + max_writes(8) + slack
+    for name, orig in imgs.items():
+        got = np.asarray(imread(str(out / "col0" / "col0_row0" / name)))
+        assert got.shape == orig.shape
+
+
 def test_read_filter_save_logs_failed_reads(tmp_path):
     out = tmp_path / "o"
     out.mkdir()

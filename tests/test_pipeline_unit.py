@@ -85,6 +85,94 @@ def test_journal_invalidated_by_config_change(tmp_path):
     assert stats3.slabs_skipped == 0 and stats3.planes == Z
 
 
+def test_wrap_cast_out_of_range(tmp_path):
+    """Out-of-range filter output must wrap like numpy astype (65537 -> 1),
+    not saturate like a bare XLA cast (ADVICE round 1: device path diverged
+    from the reference's float-into-uint16-zarr write on bright pixels)."""
+    from aind_smartspim_destripe_tpu.runtime.pipeline import make_device_step
+
+    plan = _plan()
+    step = make_device_step(plan, 2500.0, with_flatfield=False)
+    rng = np.random.default_rng(3)
+    vol = np.clip(
+        60000 + (rng.normal(size=(2, H, 1)) * 500) * np.ones((1, 1, W)), 0, 65535
+    ).astype(np.uint16)
+    # saturated region: destripe output ~ x + 2, so these pixels overshoot
+    # 65535 and must wrap
+    vol[:, : H // 2, : W // 2] = 65535
+    flat = np.ones((1, 1), np.float32)
+    dark = np.zeros((1, 1), np.float32)
+    got = np.asarray(step(vol.astype(np.uint16), flat, dark))
+    from aind_smartspim_destripe_tpu.ops.filter import destripe_batch as db
+
+    want_float = np.asarray(db(plan, vol.astype(np.float32), 2500.0))
+    want = want_float.astype(np.uint16)  # numpy wrap
+    # destripe of near-max input overshoots 65535 (output ~ x + 2), so the
+    # wrap must actually trigger somewhere for this test to mean anything
+    assert (want_float > 65535.0).any()
+    assert np.array_equal(got, want)
+
+
+def test_write_backpressure_and_journal_under_concurrency(tmp_path):
+    """Slow store + many slabs: in-flight writes stay bounded (no unbounded
+    slab pile-up) and the commit journal survives concurrent writer threads
+    intact (round-1 race: unlocked sorted(set) during add)."""
+    import threading
+    import time as _time
+
+    z = 64
+    vol, inp, out = _arrays(tmp_path, z=z)
+
+    class SlowStore:
+        def __init__(self, inner):
+            self.inner = inner
+            self.path = inner.path
+            self.shape = inner.shape
+            self.active = 0
+            self.peak = 0
+            self._lock = threading.Lock()
+
+        def __setitem__(self, sl, val):
+            with self._lock:
+                self.active += 1
+                self.peak = max(self.peak, self.active)
+            _time.sleep(0.02)
+            self.inner[sl] = val
+            with self._lock:
+                self.active -= 1
+
+        def __getitem__(self, sl):
+            return self.inner[sl]
+
+    slow = SlowStore(out)
+    prefetch = 2
+    pipe = StreamingDestriper(
+        inp, slow, _plan(), slab=2, device_batch=4, prefetch=prefetch, io_threads=8
+    )
+    stats = pipe.run()
+    assert stats.planes == z and stats.slabs == z // 2
+    # bound: prefetch+1 queued writes, +1 transiently while draining
+    assert slow.peak <= prefetch + 2
+    import json as _json
+
+    state = _json.load(open(tmp_path / "out" / ".destripe_journal.json"))
+    assert len(state["slabs"]) == z // 2
+    assert sorted(map(tuple, state["slabs"])) == [(i, i + 2) for i in range(0, z, 2)]
+
+
+def test_journal_concurrent_commits(tmp_path):
+    from concurrent.futures import ThreadPoolExecutor
+
+    from aind_smartspim_destripe_tpu.runtime.pipeline import _Journal
+
+    path = str(tmp_path / "journal.json")
+    j = _Journal(path, {"m": 1})
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        list(ex.map(lambda i: j.commit((i, i + 1)), range(300)))
+    j2 = _Journal(path, {"m": 1})
+    assert len(j2.done) == 300
+
+
 def test_2d_input_rejected(tmp_path):
     _, inp, out = _arrays(tmp_path)
 
