@@ -1,10 +1,13 @@
 """
 Benchmark: destripe throughput on one TPU chip, production SmartSPIM geometry.
 
-Measures the fused destripe + flat-field device step (uint16 in / uint16 out,
-H2D/D2H included, async-dispatch overlapped — i.e. the steady-state of the
-streaming pipeline) on (B, 1600, 2000) planes with the production filter
-configs (run_capsule.py:374-390 of the reference).
+Measures the fused destripe + flat-field device step (uint16 in / uint16 out)
+on (B, 1600, 2000) planes with the production filter configs
+(run_capsule.py:374-390 of the reference). Scope: DEVICE-RESIDENT — the
+timed loop is a lax.scan chained on device, so host<->device transfer is NOT
+included (the dev harness reaches the chip over a ~25 MB/s tunnel that no
+production deployment has; see benchmarks/run_configs.py for the
+IO-inclusive end-to-end configs and BENCH_E2E.md for their recorded numbers).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "MPix/s/chip", "vs_baseline": N}
@@ -71,8 +74,11 @@ def main():
         return out
 
     rng = np.random.default_rng(0)
+    # alternate dim/bright planes so both classifier branches (no-cells /
+    # cells, filtering.py:462) appear in the PSNR sample
+    level = np.where(np.arange(B) % 2 == 0, 300.0, 3200.0)[:, None, None]
     base = np.clip(
-        300
+        level
         + (rng.normal(size=(B, H, 1)) * 60) * np.ones((1, 1, W))
         + rng.normal(size=(B, H, W)) * 10,
         0,
@@ -105,27 +111,36 @@ def main():
     mpix_s = pixels / dt / 1e6
 
     # Fidelity evidence: PSNR of the uint16 device output vs the float64
-    # numpy/scipy re-derivation of the reference pipeline (one plane).
+    # numpy/scipy re-derivation of the reference pipeline, over a sample of
+    # planes (dim/bright/striped variants — not just one synthetic case).
     psnr_db = None
+    psnr_planes = []
     try:
         import sys
 
         sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.abspath(__file__)))
         from tests.golden import numpy_ref as G
 
-        plane = np.asarray(base[0], dtype=np.float64)
-        want_f = G.filter_stripes_ref(
-            plane,
-            {"wavelet": "db3", "level": None, "sigma": 128, "max_threshold": 12},
-            {"wavelet": "db3", "level": None, "sigma": 64, "max_threshold": 3},
-            microscope_high_int=2500,
-        )
-        want = G.flatfield_correction_ref(
-            want_f, np.full((H, W), 1.2), np.full((H, W), 4.0)
-        )
-        got = np.asarray(out[0])
-        mse = np.mean((got.astype(np.float64) - want.astype(np.float64)) ** 2)
-        psnr_db = round(10 * np.log10(65535.0**2 / mse), 1) if mse > 0 else 999.0
+        n_sample = min(4, B)
+        got_all = np.asarray(out[:n_sample])
+        for i in range(n_sample):
+            plane = np.asarray(base[i], dtype=np.float64)
+            want_f = G.filter_stripes_ref(
+                plane,
+                {"wavelet": "db3", "level": None, "sigma": 128, "max_threshold": 12},
+                {"wavelet": "db3", "level": None, "sigma": 64, "max_threshold": 3},
+                microscope_high_int=2500,
+            )
+            want = G.flatfield_correction_ref(
+                want_f, np.full((H, W), 1.2), np.full((H, W), 4.0)
+            )
+            mse = np.mean(
+                (got_all[i].astype(np.float64) - want.astype(np.float64)) ** 2
+            )
+            psnr_planes.append(
+                round(10 * np.log10(65535.0**2 / mse), 1) if mse > 0 else 999.0
+            )
+        psnr_db = min(psnr_planes)
     except Exception:
         pass
 
@@ -136,7 +151,9 @@ def main():
                 "value": round(mpix_s, 1),
                 "unit": "MPix/s/chip",
                 "vs_baseline": round(mpix_s / 2000.0, 3),
+                "scope": "device_resident",
                 "psnr_vs_reference_db": psnr_db,
+                "psnr_planes_db": psnr_planes,
             }
         )
     )

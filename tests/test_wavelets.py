@@ -220,3 +220,81 @@ def test_blocked_path_matches_dense_operators():
         y_b = map_np(W.idwt2)(ca_b, det_b, wav)
         y_d = map_np(W.idwt2)(ca_b, det_b, wav, syn_ops)
         np.testing.assert_allclose(y_b, y_d, atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# Brute-force from-the-definition oracle (third, independent expression)
+# ---------------------------------------------------------------------------
+# pywt itself is not installable in this environment, so true pywt-generated
+# arrays cannot be vendored. Instead: the published filter literals above +
+# the documented algorithm (symmetric half-sample extension, correlate,
+# downsample at odd phases) re-expressed with np.convolve — no shared code
+# with ops/wavelets.py or tests/golden/numpy_ref.py.
+
+
+def _bf_dwt1d(x, dec):
+    flen = len(dec)
+    if flen > 1:
+        x = np.concatenate([x[: flen - 1][::-1], x, x[-(flen - 1):][::-1]])
+    conv = np.convolve(x, dec)  # pywt convolves the extension with dec
+    L = (len(x) - 2 * (flen - 1) + flen - 1) // 2
+    return conv[flen : flen + 2 * L - 1 : 2]
+
+
+def _bf_dwt2(img, dec_lo, dec_hi):
+    lo = np.stack([_bf_dwt1d(r, dec_lo) for r in img])
+    hi = np.stack([_bf_dwt1d(r, dec_hi) for r in img])
+    ca = np.stack([_bf_dwt1d(c, dec_lo) for c in lo.T], axis=1)
+    ch = np.stack([_bf_dwt1d(c, dec_hi) for c in lo.T], axis=1)
+    cv = np.stack([_bf_dwt1d(c, dec_lo) for c in hi.T], axis=1)
+    cd = np.stack([_bf_dwt1d(c, dec_hi) for c in hi.T], axis=1)
+    return ca, (ch, cv, cd)
+
+
+def _qmf_hi(dec_lo):
+    # pywt: rec_hi[k] = (-1)^k rec_lo[n-1-k] (qmf), dec_hi = rec_hi reversed
+    # => dec_hi[k] = (-1)^(n-1-k) dec_lo[n-1-k]
+    n = len(dec_lo)
+    return [((-1) ** (n - 1 - k)) * dec_lo[n - 1 - k] for k in range(n)]
+
+
+def test_pywt_doc_example_db1():
+    """The official pywt docs example: dwt([1,2,3,4], 'db1') ->
+    cA=[2.12132034, 4.94974747], cD=[-0.70710678, -0.70710678]."""
+    dec_lo = np.array(PYWT_DEC_LO["db1"])
+    dec_hi = np.array(_qmf_hi(PYWT_DEC_LO["db1"]))
+    ca = _bf_dwt1d(np.array([1.0, 2, 3, 4]), dec_lo)
+    cd = _bf_dwt1d(np.array([1.0, 2, 3, 4]), dec_hi)
+    np.testing.assert_allclose(ca, [2.12132034, 4.94974747], atol=1e-8)
+    np.testing.assert_allclose(cd, [-0.70710678, -0.70710678], atol=1e-8)
+
+
+@pytest.mark.parametrize("name", ["db2", "db3"])
+@pytest.mark.parametrize("shape", [(11, 13), (16, 16), (23, 9)])
+def test_wavedec2_matches_bruteforce_literals(name, shape):
+    """Full multi-level wavedec2 against the from-the-definition oracle built
+    ONLY from published literals (de-circularizes the self-authored oracle)."""
+    rng = np.random.default_rng(sum(shape))
+    img = rng.normal(size=shape)
+    wav = W.wavelet(name)
+    dec_lo = np.array(PYWT_DEC_LO[name])
+    dec_hi = np.array(_qmf_hi(PYWT_DEC_LO[name]))
+
+    level, _ = W.wavedec2_shapes(shape, wav, None)
+    got = [
+        np.asarray(c) if not isinstance(c, tuple) else tuple(map(np.asarray, c))
+        for c in W.wavedec2(jax.numpy.asarray(img), wav, None)
+    ]
+
+    approx = img
+    want = []
+    for _ in range(level):
+        approx, det = _bf_dwt2(approx, dec_lo, dec_hi)
+        want.append(det)
+    want = [approx] + want[::-1]
+
+    assert len(got) == len(want)
+    np.testing.assert_allclose(got[0], want[0], atol=1e-5)
+    for g, w in zip(got[1:], want[1:]):
+        for gb, wb in zip(g, w):
+            np.testing.assert_allclose(gb, wb, atol=1e-5)
