@@ -16,6 +16,7 @@ each host (ICI). These helpers wire that up:
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -27,10 +28,20 @@ def initialize_distributed(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> Tuple[int, int]:
-    """Bring up the multi-host runtime when configured (JAX env vars or
-    explicit args); returns (process_index, process_count). Safe to call in
-    single-process runs."""
-    if coordinator_address is not None:
+    """Bring up the multi-host runtime when configured; returns
+    (process_index, process_count). Safe to call in single-process runs.
+
+    Configuration sources, in order: explicit args, then the
+    ``DESTRIPE_COORDINATOR_ADDRESS`` / ``DESTRIPE_NUM_PROCESSES`` /
+    ``DESTRIPE_PROCESS_ID`` environment variables (set by the launcher on
+    each host). Called by run_capsule.run() and the CLI, so a multi-host
+    launch needs no code changes — just the env vars."""
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("DESTRIPE_COORDINATOR_ADDRESS")
+        if coordinator_address:
+            num_processes = int(os.environ.get("DESTRIPE_NUM_PROCESSES", "1"))
+            process_id = int(os.environ.get("DESTRIPE_PROCESS_ID", "0"))
+    if coordinator_address:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
@@ -56,19 +67,27 @@ def host_local_mesh(axis: str = "z") -> jax.sharding.Mesh:
 
 
 def global_stats(values: np.ndarray) -> np.ndarray:
-    """Sum a small per-host stats vector across all hosts (psum over a
-    process-spanning mesh); identity in single-process runs."""
+    """Sum a small per-host stats vector across all hosts: each process
+    contributes its local vector as one row of a process-sharded array and a
+    replicated jitted sum reduces it (XLA inserts the DCN collective).
+    Identity in single-process runs."""
+    values = np.asarray(values)
     if jax.process_count() == 1:
-        return np.asarray(values)
-    devices = np.array(jax.devices())
-    mesh = jax.sharding.Mesh(devices, ("p",))
+        return values
+    # one representative device per process
+    by_proc = {}
+    for d in jax.devices():
+        by_proc.setdefault(d.process_index, d)
+    devs = np.array([by_proc[i] for i in sorted(by_proc)])
+    mesh = jax.sharding.Mesh(devs, ("p",))
+    P = jax.sharding.PartitionSpec
     arr = jax.make_array_from_process_local_data(
-        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
-        np.asarray(values),
+        jax.sharding.NamedSharding(mesh, P("p")),
+        values[None],
+        (len(devs),) + values.shape,
     )
-
-    @jax.jit
-    def ident(x):
-        return x
-
-    return np.asarray(ident(arr))
+    out = jax.jit(
+        lambda x: x.sum(axis=0),
+        out_shardings=jax.sharding.NamedSharding(mesh, P()),
+    )(arr)
+    return np.asarray(out)

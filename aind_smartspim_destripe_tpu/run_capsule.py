@@ -87,7 +87,15 @@ def run(
     scratch_folder: str = "../scratch",
 ):
     """Validate inputs and destripe every channel (reference
-    run_capsule.py:308-421)."""
+    run_capsule.py:308-421). Multi-host aware: when the DESTRIPE_COORDINATOR
+    env vars are set, jax.distributed comes up and each process destripes a
+    disjoint tile subset (provenance JSON written by process 0 only)."""
+    from .parallel.distributed import initialize_distributed
+
+    process_index, process_count = initialize_distributed()
+    if process_count > 1:
+        print(f"Multi-host run: process {process_index}/{process_count}")
+
     data_folder = Path(os.path.abspath(data_folder))
     results_folder = Path(os.path.abspath(results_folder))
     Path(os.path.abspath(scratch_folder))
@@ -155,14 +163,15 @@ def run(
         )
         destriping_end_time = time()
 
-        generate_data_processing(
-            channel_name=channel_name,
-            destripe_version=__version__,
-            destripe_config=parameters,
-            start_time=destriping_start_time,
-            end_time=destriping_end_time,
-            output_directory=str(results_folder),
-        )
+        if process_index == 0:
+            generate_data_processing(
+                channel_name=channel_name,
+                destripe_version=__version__,
+                destripe_config=parameters,
+                start_time=destriping_start_time,
+                end_time=destriping_end_time,
+                output_directory=str(results_folder),
+            )
 
 
 if __name__ == "__main__":

@@ -509,7 +509,10 @@ def destripe_channel(
     parameters,
 ):
     """Destripe every tile of a channel (reference zarr_destriper.py:1214-1267):
-    pick the estimated flat by laser side, then run destripe_zarr per tile."""
+    pick the estimated flat by laser side, then run destripe_zarr per tile.
+    Returns {tile_name: PipelineStats} for the tiles THIS process owns (all
+    of them in single-process runs; a disjoint round-robin subset under
+    jax.distributed — see parallel/distributed.assign_tiles)."""
     zarr_dataset_path = Path(zarr_dataset_path)
     results_folder = Path(results_folder)
     channel_dataset = zarr_dataset_path.joinpath(channel_name)
@@ -530,7 +533,7 @@ def destripe_channel(
     except Exception:  # pragma: no cover - jax optional at this layer
         pass
 
-    stats = []
+    stats = {}
     for tile_path in tiles:
         output_folder = destriped_data_folder.joinpath(
             f"{channel_name}/{tile_path.name}"
@@ -552,23 +555,21 @@ def destripe_channel(
         flatfield = imread(str(flatfield_path))
         print(f"Reading flatfield from {flatfield_path} - shape: {flatfield.shape}")
 
-        stats.append(
-            destripe_zarr(
-                dataset_path=tile_path,
-                multiscale="0",
-                output_destriped_zarr=output_folder,
-                prediction_chunksize=(64, 1600, 2000),
-                target_size_mb=3072,
-                n_workers=0,
-                batch_size=1,
-                super_chunksize=(384, 1600, 2000),
-                results_folder=results_folder,
-                derivatives_path=derivatives_path,
-                xyz_resolution=xyz_resolution,
-                parameters=parameters,
-                flatfield=flatfield,
-                lazy_callback_fn=None,
-            )
+        stats[tile_path.name] = destripe_zarr(
+            dataset_path=tile_path,
+            multiscale="0",
+            output_destriped_zarr=output_folder,
+            prediction_chunksize=(64, 1600, 2000),
+            target_size_mb=3072,
+            n_workers=0,
+            batch_size=1,
+            super_chunksize=(384, 1600, 2000),
+            results_folder=results_folder,
+            derivatives_path=derivatives_path,
+            xyz_resolution=xyz_resolution,
+            parameters=parameters,
+            flatfield=flatfield,
+            lazy_callback_fn=None,
         )
     return stats
 
