@@ -54,10 +54,11 @@ def imread(path: PathLike) -> np.ndarray:
     if extension == ".raw":
         return raw_imread(path)
     if extension in (".tif", ".tiff"):
-        from PIL import Image
+        # multi-page stacks and BigTIFF included (tifffile.imread semantics,
+        # reference readers.py:85) — see io/tiff.py
+        from .tiff import tiff_imread
 
-        with Image.open(path) as im:
-            return np.asarray(im)
+        return tiff_imread(path)
     if extension == ".png":
         import imageio
 

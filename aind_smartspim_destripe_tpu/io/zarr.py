@@ -150,6 +150,114 @@ def codec_from_config(cfg: Optional[dict]):
 
 
 # ---------------------------------------------------------------------------
+# Filters (numcodecs array-to-array transforms, applied before the
+# compressor on encode — foreign OME-Zarr inputs use these; the reference
+# read such stores through zarr-python, zarr_destriper.py:1027-1035)
+# ---------------------------------------------------------------------------
+
+
+class DeltaFilter:
+    def __init__(self, dtype, astype=None):
+        self.dtype = np.dtype(dtype)
+        self.astype = np.dtype(astype) if astype else self.dtype
+
+    def encode(self, arr: np.ndarray) -> np.ndarray:
+        arr = arr.astype(self.dtype, copy=False).ravel()
+        out = np.empty_like(arr, dtype=self.astype)
+        out[0] = arr[0]
+        out[1:] = np.diff(arr)
+        return out
+
+    def decode(self, arr: np.ndarray) -> np.ndarray:
+        return np.cumsum(arr.ravel(), dtype=self.dtype)
+
+    @property
+    def encoded_dtype(self):
+        return self.astype
+
+
+class ShuffleFilter:
+    """numcodecs 'shuffle': byte transpose over the whole buffer."""
+
+    def __init__(self, elementsize: int):
+        self.elementsize = int(elementsize)
+
+    def encode(self, arr: np.ndarray) -> np.ndarray:
+        raw = np.frombuffer(arr.tobytes(), np.uint8)
+        from . import blosc as _b
+
+        return np.frombuffer(_b.byte_shuffle(raw, self.elementsize), np.uint8)
+
+    def decode(self, arr: np.ndarray) -> np.ndarray:
+        from . import blosc as _b
+
+        raw = arr.view(np.uint8) if arr.dtype == np.uint8 else np.frombuffer(arr.tobytes(), np.uint8)
+        return np.frombuffer(_b.byte_unshuffle(raw.tobytes(), self.elementsize), np.uint8)
+
+    @property
+    def encoded_dtype(self):
+        return np.dtype(np.uint8)
+
+
+class AsTypeFilter:
+    def __init__(self, encode_dtype, decode_dtype):
+        self.enc = np.dtype(encode_dtype)
+        self.dec = np.dtype(decode_dtype)
+
+    def encode(self, arr: np.ndarray) -> np.ndarray:
+        return arr.astype(self.enc, copy=False)
+
+    def decode(self, arr: np.ndarray) -> np.ndarray:
+        return arr.astype(self.dec, copy=False)
+
+    @property
+    def encoded_dtype(self):
+        return self.enc
+
+
+class FixedScaleOffsetFilter:
+    def __init__(self, scale, offset, dtype, astype=None):
+        self.scale = scale
+        self.offset = offset
+        self.dtype = np.dtype(dtype)
+        self.astype = np.dtype(astype) if astype else self.dtype
+
+    def encode(self, arr: np.ndarray) -> np.ndarray:
+        enc = (arr.astype(self.dtype, copy=False) - self.offset) * self.scale
+        if self.astype.kind in "ui":
+            enc = np.around(enc)
+        return enc.astype(self.astype)
+
+    def decode(self, arr: np.ndarray) -> np.ndarray:
+        return (arr / self.scale + self.offset).astype(self.dtype)
+
+    @property
+    def encoded_dtype(self):
+        return self.astype
+
+
+def filter_from_config(cfg: dict, dtype_in: np.dtype):
+    fid = cfg.get("id")
+    if fid == "delta":
+        return DeltaFilter(cfg.get("dtype", dtype_in), cfg.get("astype"))
+    if fid == "shuffle":
+        return ShuffleFilter(cfg.get("elementsize", dtype_in.itemsize))
+    if fid == "astype":
+        return AsTypeFilter(
+            cfg.get("encode_dtype", dtype_in), cfg.get("decode_dtype", dtype_in)
+        )
+    if fid == "fixedscaleoffset":
+        return FixedScaleOffsetFilter(
+            cfg.get("scale", 1), cfg.get("offset", 0),
+            cfg.get("dtype", dtype_in), cfg.get("astype"),
+        )
+    raise NotImplementedError(
+        f"zarr filter {fid!r} not supported (delta, shuffle, astype, "
+        f"fixedscaleoffset are)"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Attributes (.zattrs)
 # ---------------------------------------------------------------------------
 
@@ -229,12 +337,18 @@ class ZarrArray:
             raise ValueError("only zarr v2 arrays supported")
         if meta.get("order", "C") != "C":
             raise NotImplementedError("only C-order arrays supported")
-        if meta.get("filters"):
-            raise NotImplementedError("filters not supported")
         self.meta = meta
         self.shape = tuple(meta["shape"])
         self.chunks = tuple(meta["chunks"])
         self.dtype = np.dtype(meta["dtype"])
+        # filter chain: original dtype -> f0 -> f1 -> ... -> compressor
+        self.filters = []
+        dt = self.dtype
+        for cfg in meta.get("filters") or []:
+            f = filter_from_config(cfg, dt)
+            self.filters.append(f)
+            dt = f.encoded_dtype
+        self._stored_dtype = dt
         fill = meta.get("fill_value", 0)
         self.fill_value = 0 if fill is None else fill
         self.separator = meta.get("dimension_separator", ".")
@@ -317,13 +431,34 @@ class ZarrArray:
         with open(p, "rb") as f:
             raw = f.read()
         buf = self.codec.decode(raw)
+        if self.filters:
+            # walk the chain backwards, reinterpreting bytes at each hop
+            # (byte-level filters like shuffle emit uint8 buffers)
+            dts = [self.dtype] + [f.encoded_dtype for f in self.filters]
+            arr = np.frombuffer(buf, dtype=dts[-1])
+            for f, dt_in in zip(reversed(self.filters), reversed(dts[:-1])):
+                arr = np.asarray(f.decode(arr))
+                if arr.dtype != dt_in:
+                    if arr.dtype == np.uint8 and dt_in.itemsize > 1:
+                        # byte-level filter output: reinterpret, don't cast
+                        arr = np.frombuffer(
+                            np.ascontiguousarray(arr).tobytes(), dtype=dt_in
+                        )
+                    else:
+                        arr = arr.astype(dt_in)
+            return arr.astype(self.dtype, copy=False).reshape(self.chunks).copy()
         return np.frombuffer(buf, dtype=self.dtype).reshape(self.chunks).copy()
 
     def write_chunk(self, cidx: Tuple[int, ...], data: np.ndarray):
         """Encode one full-shape chunk."""
         assert data.shape == self.chunks, (data.shape, self.chunks)
         buf = np.ascontiguousarray(data, dtype=self.dtype)
-        frame = self.codec.encode(buf.tobytes(), self.itemsize)
+        if self.filters:
+            arr = buf
+            for f in self.filters:
+                arr = f.encode(arr)
+            buf = np.ascontiguousarray(arr)
+        frame = self.codec.encode(buf.tobytes(), self._stored_dtype.itemsize if self.filters else self.itemsize)
         p = self._chunk_path(cidx)
         os.makedirs(os.path.dirname(p), exist_ok=True)
         tmp = p + ".partial"

