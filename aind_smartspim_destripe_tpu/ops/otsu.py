@@ -59,10 +59,16 @@ def threshold_otsu(x: jnp.ndarray, nbins: int = 256) -> jnp.ndarray:
     return jnp.where(jnp.max(x) > jnp.min(x), th, jnp.min(x))
 
 
-def threshold_otsu_batch(x: jnp.ndarray, nbins: int = 256) -> jnp.ndarray:
+def threshold_otsu_batch(
+    x: jnp.ndarray, nbins: int = 256, square: bool = False
+) -> jnp.ndarray:
     """Per-plane Otsu thresholds for a (B, H, W) batch.
 
-    On TPU the histograms run through the Pallas one-hot MXU kernel
+    With ``square=True`` the threshold is computed over ``x**2`` (the filter's
+    Otsu input, filtering.py:191) with the squaring fused into the histogram
+    kernel — the squared array never hits HBM, and the bin range comes from
+    ``min|x|**2 / max|x|**2`` (bit-identical: the square of the extremal
+    element). On TPU the histograms run through the Pallas one-hot MXU kernel
     (ops/pallas_hist.py, ~8x cheaper than the broadcast-compare loop);
     elsewhere (or with DESTRIPE_NO_PALLAS=1) it falls back to vmapping
     :func:`threshold_otsu`. Binning math is identical in both paths.
@@ -74,16 +80,23 @@ def threshold_otsu_batch(x: jnp.ndarray, nbins: int = 256) -> jnp.ndarray:
         and os.environ.get("DESTRIPE_NO_PALLAS", "0") != "1"
     )
     if not use_pallas:
-        return jax.vmap(lambda p: threshold_otsu(p, nbins))(x)
+        xs = x * x if square else x
+        return jax.vmap(lambda p: threshold_otsu(p, nbins))(xs)
 
     from .pallas_hist import histogram256_batch
 
     xf = x.astype(jnp.float32)
-    lo = jnp.min(xf, axis=(1, 2))
-    hi = jnp.max(xf, axis=(1, 2))
+    if square:
+        absx = jnp.abs(xf)
+        lo_a = jnp.min(absx, axis=(1, 2))
+        hi_a = jnp.max(absx, axis=(1, 2))
+        lo, hi = lo_a * lo_a, hi_a * hi_a
+    else:
+        lo = jnp.min(xf, axis=(1, 2))
+        hi = jnp.max(xf, axis=(1, 2))
     span = hi - lo
     safe_span = jnp.where(span > 0, span, 1.0)
-    counts = histogram256_batch(xf, lo, safe_span)  # (B, 256)
+    counts = histogram256_batch(xf, lo, safe_span, square=square)  # (B, 256)
 
     steps = jnp.arange(nbins + 1, dtype=x.dtype) / nbins
     edges = lo[:, None] + span[:, None] * steps[None, :]

@@ -36,66 +36,77 @@ def available() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _kernel(stats_ref, x_ref, out_ref):
-    b = pl.program_id(0)
-    t = pl.program_id(1)
+def _make_kernel(H: int, W: int, rows: int, square: bool):
+    def kernel(stats_ref, x_ref, out_ref):
+        b = pl.program_id(0)
+        t = pl.program_id(1)
 
-    lo = stats_ref[b, 0]
-    span = stats_ref[b, 1]
+        lo = stats_ref[b, 0]
+        span = stats_ref[b, 1]
 
-    x = x_ref[0]  # (ROWS, Wp)
-    idx = jnp.floor((x - lo) / span * 256.0)
-    idx = jnp.clip(idx, 0.0, 255.0)  # NaN pads stay NaN (clip keeps NaN)
-    hi = jnp.floor(idx / 16.0)
-    lo16 = idx - hi * 16.0
+        x = x_ref[0]  # (ROWS, Wp)
+        if square:
+            x = x * x  # bin on x^2 without materializing it in HBM
+        idx = jnp.floor((x - lo) / span * 256.0)
+        idx = jnp.clip(idx, 0.0, 255.0)
+        if x.shape[1] != W:
+            # ragged lane tail (block padding reads undefined values):
+            # NaN indices compare False in both one-hots
+            lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+            idx = jnp.where(lane < W, idx, jnp.nan)
+        hi = jnp.floor(idx / 16.0)
+        lo16 = idx - hi * 16.0
 
-    # Mosaic supports no in-kernel reshapes: walk the ROWS sublanes, build
-    # (16, Wp) one-hots by broadcast compare, and contract over lanes on the
-    # MXU. bf16 one-hot products are exact 0/1; accumulation is f32.
-    bins = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0).astype(jnp.float32)
+        # Mosaic supports no in-kernel reshapes: walk the ROWS sublanes, build
+        # (16, Wp) one-hots by broadcast compare, and contract over lanes on
+        # the MXU. bf16 one-hot products are exact 0/1; accumulation is f32.
+        bins = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0).astype(jnp.float32)
 
-    part = jnp.zeros((16, 16), jnp.float32)
-    for r in range(x.shape[0]):  # static unroll (ROWS is small)
-        hi_oh = (bins == hi[r : r + 1, :]).astype(jnp.bfloat16)  # (16, Wp)
-        lo_oh = (bins == lo16[r : r + 1, :]).astype(jnp.bfloat16)
-        part = part + jax.lax.dot_general(
-            hi_oh,
-            lo_oh,
-            dimension_numbers=(((1,), (1,)), ((), ())),  # contract lanes
-            preferred_element_type=jnp.float32,
-        )
+        part = jnp.zeros((16, 16), jnp.float32)
+        for r in range(x.shape[0]):  # static unroll (ROWS is small)
+            hi_r = hi[r : r + 1, :]
+            if H % rows:
+                # ragged row tail: poison the whole row's indices
+                valid = (t * rows + r) < H
+                hi_r = jnp.where(valid, hi_r, jnp.nan)
+            hi_oh = (bins == hi_r).astype(jnp.bfloat16)  # (16, Wp)
+            lo_oh = (bins == lo16[r : r + 1, :]).astype(jnp.bfloat16)
+            part = part + jax.lax.dot_general(
+                hi_oh,
+                lo_oh,
+                dimension_numbers=(((1,), (1,)), ((), ())),  # contract lanes
+                preferred_element_type=jnp.float32,
+            )
 
-    @pl.when(t == 0)
-    def _():
-        out_ref[0] = part
+        @pl.when(t == 0)
+        def _():
+            out_ref[0] = part
 
-    @pl.when(t != 0)
-    def _():
-        out_ref[0] = out_ref[0] + part
+        @pl.when(t != 0)
+        def _():
+            out_ref[0] = out_ref[0] + part
+
+    return kernel
 
 
 def histogram256_batch(x: jax.Array, lo: jax.Array, span: jax.Array,
+                       square: bool = False,
                        interpret: bool = False) -> jax.Array:
     """Per-plane 256-bin histograms.
 
     x: (B, H, W) float32; lo/span: (B,) plane min and (max - min, guarded).
-    Returns (B, 256) float32 counts, bit-identical binning to
-    otsu.histogram_fixed_bins.
+    With ``square=True`` the histogram is over x**2, squared in-kernel (the
+    Otsu input) — saves materializing the squared array. Ragged tails are
+    masked in-kernel, so the input is never padded/copied. Returns (B, 256)
+    float32 counts, bit-identical binning to otsu.histogram_fixed_bins.
     """
     B, H, W = x.shape
     Wp = -(-W // 128) * 128
-    Hp = -(-H // _ROWS) * _ROWS
-    if Wp != W or Hp != H:
-        x = jnp.pad(
-            x,
-            [(0, 0), (0, Hp - H), (0, Wp - W)],
-            constant_values=jnp.nan,
-        )
     stats = jnp.stack([lo, span], axis=-1).astype(jnp.float32)  # (B, 2)
 
-    n_tiles = Hp // _ROWS
+    n_tiles = -(-H // _ROWS)
     out = pl.pallas_call(
-        _kernel,
+        _make_kernel(H, W, _ROWS, square),
         grid=(B, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # full (B, 2) stats table

@@ -28,7 +28,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["row_median_batch", "available"]
+__all__ = ["row_median_batch", "row_median_masked", "available"]
 
 _ROWS = 256  # rows per grid step (large: amortizes per-step overhead)
 
@@ -62,14 +62,45 @@ def _kth_smallest(key, k: int):
     return cur
 
 
-def _make_kernel(k1: int, k2: int):
-    def kernel(x_ref, out_ref):
-        x = x_ref[0]  # (ROWS, Wp)
+def _make_kernel(k1: int, k2: int, n: int, masked: bool = False):
+    def kernel(*refs):
+        if masked:
+            thr_ref, x_ref, out_ref = refs
+            b = pl.program_id(0)
+            thr = thr_ref[b, 0]
+            x = x_ref[0]  # (ROWS, Wp)
+            # inpainting median runs over the *background* row: coefficients
+            # above the stripe threshold are zeroed (reference
+            # filtering.py:199-204), here without materializing that array.
+            # sqrt(x*x) (not |x|) matches the reference's rounded compare.
+            x = jnp.where(jnp.sqrt(x * x) > thr, 0.0, x)
+        else:
+            x_ref, out_ref = refs
+            x = x_ref[0]  # (ROWS, Wp)
         key = _sortable_keys(x)
-        v1 = _keys_to_float(_kth_smallest(key, k1))
+        if x.shape[-1] != n:
+            # ragged lane tail: block padding reads undefined values — force
+            # them to the maximal key, which never enters the k-th statistic
+            lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+            key = jnp.where(lane < n, key, jnp.uint32(0xFFFFFFFF))
+        k_v1 = _kth_smallest(key, k1)
+        v1 = _keys_to_float(k_v1)
         if k2 != k1:
-            v2 = _keys_to_float(_kth_smallest(key, k2))
-            med = (v1 + v2) * 0.5
+            # (k1+1)-th statistic in ONE extra pass instead of a second
+            # 32-step bisection: it is v1 itself when v1 is duplicated past
+            # rank k2, else the smallest key strictly above v1.
+            cnt_le = jnp.sum((key <= k_v1).astype(jnp.int32), axis=1,
+                             keepdims=True)
+            # Mosaic has no uint32 min; flip the sign bit (order-preserving
+            # uint32 -> int32 bijection), reduce in int32, flip back.
+            ikey = pltpu.bitcast(key ^ jnp.uint32(0x80000000), jnp.int32)
+            nxt_i = jnp.min(
+                jnp.where(key > k_v1, ikey, jnp.int32(0x7FFFFFFF)),
+                axis=1, keepdims=True,
+            )
+            nxt = pltpu.bitcast(nxt_i, jnp.uint32) ^ jnp.uint32(0x80000000)
+            k_v2 = jnp.where(cnt_le >= k2 + 1, k_v1, nxt)
+            med = (v1 + _keys_to_float(k_v2)) * 0.5
         else:
             med = v1
         out_ref[0] = jnp.broadcast_to(med, out_ref.shape[1:])
@@ -78,33 +109,71 @@ def _make_kernel(k1: int, k2: int):
 
 
 def row_median_batch(x: jax.Array, interpret: bool = False) -> jax.Array:
-    """Exact medians over the last axis of (..., n): returns (..., 1)."""
+    """Exact medians over the last axis of (..., n): returns (..., 1).
+
+    Runs directly on the native (..., rows, n) layout: ragged row/lane tails
+    are handled by Pallas block padding plus an in-kernel lane mask, so no
+    host-graph reshape/pad of the (multi-hundred-MB) coefficient array is
+    materialized (the round-1 version spent ~2 ms/step on pads alone)."""
     lead = x.shape[:-1]
     n = x.shape[-1]
-    rows = int(np.prod(lead)) if lead else 1
-    rp = -(-rows // _ROWS) * _ROWS
+    if x.ndim == 1:
+        x3 = x.astype(jnp.float32)[None, None]
+    elif x.ndim == 2:
+        x3 = x.astype(jnp.float32)[None]
+    else:
+        x3 = x.reshape((-1,) + x.shape[-2:]).astype(jnp.float32)
+    nb, rows, _ = x3.shape
+    rows_per = min(_ROWS, -(-rows // 8) * 8)
+    n_row_blocks = -(-rows // rows_per)
     wp = -(-n // 128) * 128
-
-    flat = x.reshape(rows, n).astype(jnp.float32)
-    flat = jnp.pad(
-        flat,
-        [(0, rp - rows), (0, wp - n)],
-        constant_values=jnp.inf,
-    ).reshape(rp // _ROWS, _ROWS, wp)
 
     k2 = n // 2
     k1 = (n - 1) // 2
     out = pl.pallas_call(
-        _make_kernel(k1, k2),
-        grid=(rp // _ROWS,),
+        _make_kernel(k1, k2, n),
+        grid=(nb, n_row_blocks),
         in_specs=[
-            pl.BlockSpec((1, _ROWS, wp), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, rows_per, wp), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _ROWS, 128), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, rows_per, 128), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rp // _ROWS, _ROWS, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (nb, n_row_blocks * rows_per, 128), jnp.float32
+        ),
         interpret=interpret,
-    )(flat)
-    meds = out[:, :, 0].reshape(rp)[:rows]
+    )(x3)
+    meds = out[:, :rows, 0]
     return meds.reshape(lead + (1,)).astype(x.dtype)
+
+
+def row_median_masked(x: jax.Array, thr: jax.Array,
+                      interpret: bool = False) -> jax.Array:
+    """Per-row median of ``where(|x| > thr, 0, x)`` for a (B, rows, n) batch
+    with per-plane thresholds ``thr`` (B,) — the inpainting background median
+    with the masking fused in-kernel, so the background array never hits
+    HBM. Returns (B, rows, 1)."""
+    B, rows, n = x.shape
+    rows_per = min(_ROWS, -(-rows // 8) * 8)
+    n_row_blocks = -(-rows // rows_per)
+    wp = -(-n // 128) * 128
+
+    k2 = n // 2
+    k1 = (n - 1) // 2
+    out = pl.pallas_call(
+        _make_kernel(k1, k2, n, masked=True),
+        grid=(B, n_row_blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (B, 1) thresholds
+            pl.BlockSpec((1, rows_per, wp), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows_per, 128), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, n_row_blocks * rows_per, 128), jnp.float32
+        ),
+        interpret=interpret,
+    )(thr.reshape(B, 1).astype(jnp.float32), x.astype(jnp.float32))
+    return out[:, :rows, 0:1]

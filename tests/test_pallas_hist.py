@@ -43,3 +43,26 @@ def test_constant_plane():
     x = jnp.full((2, 8, 128), 5.0)
     th = np.asarray(threshold_otsu_batch(x))
     np.testing.assert_allclose(th, [5.0, 5.0])
+
+
+def test_histogram_square_mode_matches_squared_input():
+    import jax.numpy as jnp
+
+    from aind_smartspim_destripe_tpu.ops.pallas_hist import histogram256_batch
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(scale=4.0, size=(3, 21, 203)).astype(np.float32)
+    sq = x * x
+    lo = np.square(np.abs(x).min(axis=(1, 2)))
+    hi = np.square(np.abs(x).max(axis=(1, 2)))
+    span = np.where(hi - lo > 0, hi - lo, 1.0).astype(np.float32)
+    got = np.asarray(
+        histogram256_batch(jnp.asarray(x), jnp.asarray(lo.astype(np.float32)),
+                           jnp.asarray(span), square=True, interpret=True)
+    )
+    want = np.asarray(
+        histogram256_batch(jnp.asarray(sq), jnp.asarray(lo.astype(np.float32)),
+                           jnp.asarray(span), square=False, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
+    assert got.sum(axis=1).tolist() == [21 * 203] * 3  # ragged tails masked

@@ -29,3 +29,32 @@ def test_with_zeros_and_duplicates():
     got = np.asarray(row_median_batch(jnp.asarray(x), interpret=True))
     want = np.median(x, axis=-1, keepdims=True).astype(np.float32)
     np.testing.assert_array_equal(got, want)
+
+
+def test_row_median_masked_matches_reference_formulation():
+    import jax.numpy as jnp
+
+    from aind_smartspim_destripe_tpu.ops.pallas_median import row_median_masked
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(scale=3.0, size=(4, 37, 203)).astype(np.float32)
+    thr = np.array([0.5, 2.0, 0.0, 100.0], np.float32)
+    got = np.asarray(row_median_masked(jnp.asarray(x), jnp.asarray(thr), interpret=True))
+    mask = np.sqrt(x * x) > thr[:, None, None]
+    background = x * (1 - mask)
+    want = np.median(background, axis=-1, keepdims=True).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_row_median_masked_even_and_ragged():
+    import jax.numpy as jnp
+
+    from aind_smartspim_destripe_tpu.ops.pallas_median import row_median_masked
+
+    rng = np.random.default_rng(10)
+    x = rng.normal(size=(2, 9, 130)).astype(np.float32)  # even n, ragged rows/lanes
+    thr = np.array([0.7, 0.1], np.float32)
+    got = np.asarray(row_median_masked(jnp.asarray(x), jnp.asarray(thr), interpret=True))
+    background = x * (1 - (np.sqrt(x * x) > thr[:, None, None]))
+    want = np.median(background, axis=-1, keepdims=True).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
