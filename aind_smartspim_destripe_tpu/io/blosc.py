@@ -265,8 +265,112 @@ def _load_native():
     lib.blosc1_decompress.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t,
     ]
+    pp = ctypes.POINTER(ctypes.c_char_p)
+    lib.blosc1_compress_batch.restype = ctypes.c_int
+    lib.blosc1_compress_batch.argtypes = [
+        ctypes.c_int, pp, ctypes.POINTER(ctypes.c_size_t), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, pp, ctypes.POINTER(ctypes.c_size_t),
+        ctypes.POINTER(ctypes.c_longlong), ctypes.c_int,
+    ]
+    lib.blosc1_decompress_batch.restype = ctypes.c_int
+    lib.blosc1_decompress_batch.argtypes = [
+        ctypes.c_int, pp, ctypes.POINTER(ctypes.c_size_t), pp,
+        ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(ctypes.c_longlong),
+        ctypes.c_int,
+    ]
     _native = lib
     return lib
+
+
+def _n_codec_threads() -> int:
+    return min(32, os.cpu_count() or 4)
+
+
+def compress_batch(
+    chunks: list,
+    typesize: int,
+    clevel: int = 3,
+    shuffle: int = SHUFFLE,
+    cname: str = "zstd",
+) -> list:
+    """Encode many frames in ONE native call (the C++ runtime fans the
+    batch over its own threads — no per-chunk Python dispatch). Falls back
+    to per-frame compress() when the native library is absent."""
+    lib = _load_native()
+    if not lib or cname != "zstd" or not chunks:
+        return [compress(c, typesize, clevel, shuffle, cname) for c in chunks]
+    n = len(chunks)
+    # zero-copy sources: pass ndarray/bytes buffers by address
+    keep, ptrs, src_lens = [], [], []
+    for c in chunks:
+        if isinstance(c, np.ndarray):
+            a = np.ascontiguousarray(c)
+            keep.append(a)
+            ptrs.append(a.ctypes.data)
+            src_lens.append(a.nbytes)
+        else:
+            b = bytes(c)
+            keep.append(b)
+            ptrs.append(ctypes.cast(ctypes.c_char_p(b), ctypes.c_void_p).value)
+            src_lens.append(len(b))
+    caps = [ln + 16 + 4096 for ln in src_lens]
+    offs = np.concatenate([[0], np.cumsum(caps)])
+    dst_np = np.empty(int(offs[-1]), np.uint8)  # uninitialized, one block
+    base = dst_np.ctypes.data
+    srcs = (ctypes.c_char_p * n)(*ptrs)
+    lens = (ctypes.c_size_t * n)(*src_lens)
+    dsts = (ctypes.c_char_p * n)(*[base + int(o) for o in offs[:-1]])
+    dcaps = (ctypes.c_size_t * n)(*caps)
+    outl = (ctypes.c_longlong * n)()
+    rc = lib.blosc1_compress_batch(
+        n, srcs, lens, typesize, clevel, shuffle, dsts, dcaps, outl,
+        _n_codec_threads(),
+    )
+    if rc != 0:
+        return [compress(c, typesize, clevel, shuffle, cname) for c in chunks]
+    return [
+        dst_np[int(offs[i]) : int(offs[i]) + outl[i]].tobytes() for i in range(n)
+    ]
+
+
+def decompress_batch(frames: list) -> list:
+    """Decode many blosc1 frames in ONE native call; python fallback per
+    frame for anything the native path rejects."""
+    lib = _load_native()
+    frames_b = [f if isinstance(f, bytes) else bytes(f) for f in frames]
+    if not lib or not frames_b:
+        return [decompress_py(f) for f in frames_b]
+    nbytes = [struct.unpack("<I", f[4:8])[0] for f in frames_b]
+    codes = [(f[2] >> 5) & 0x07 for f in frames_b]
+    native_ok = [c in (0, 4) or (f[2] & 0x02) for c, f in zip(codes, frames_b)]
+    n = len(frames_b)
+    caps = [max(m, 1) for m in nbytes]
+    offs = np.concatenate([[0], np.cumsum(caps)])
+    dst_np = np.empty(int(offs[-1]), np.uint8)  # uninitialized, one block
+    base = dst_np.ctypes.data
+    idx = [i for i in range(n) if native_ok[i]]
+    if idx:
+        k = len(idx)
+        srcs = (ctypes.c_char_p * k)(*[frames_b[i] for i in idx])
+        lens = (ctypes.c_size_t * k)(*[len(frames_b[i]) for i in idx])
+        dsts = (ctypes.c_char_p * k)(*[base + int(offs[i]) for i in idx])
+        dcaps = (ctypes.c_size_t * k)(*[caps[i] for i in idx])
+        outl = (ctypes.c_longlong * k)()
+        rc = lib.blosc1_decompress_batch(k, srcs, lens, dsts, dcaps, outl,
+                                         _n_codec_threads())
+        if rc == 0:
+            for j, i in enumerate(idx):
+                native_ok[i] = outl[j] == nbytes[i]
+        else:
+            native_ok = [False] * n
+    # memoryviews into the shared block: zero-copy for numpy consumers,
+    # content-comparable with bytes
+    return [
+        dst_np[int(offs[i]) : int(offs[i]) + nbytes[i]].data
+        if native_ok[i]
+        else decompress_py(frames_b[i])
+        for i in range(n)
+    ]
 
 
 def compress(

@@ -63,6 +63,17 @@ class BloscCodec:
     def decode(self, data: bytes) -> bytes:
         return _blosc.decompress(data)
 
+    def encode_batch(self, datas: list, typesize: int) -> list:
+        """Many chunks in one native call (C++ thread fan-out, no per-chunk
+        Python dispatch); the slab writes of the streaming pipeline hit this."""
+        return _blosc.compress_batch(
+            datas, typesize, clevel=self.clevel, shuffle=self.shuffle,
+            cname=self.cname,
+        )
+
+    def decode_batch(self, frames: list) -> list:
+        return _blosc.decompress_batch(frames)
+
 
 class ZlibCodec:
     def __init__(self, level=1):
@@ -474,6 +485,16 @@ class ZarrArray:
 
     # -- slicing -----------------------------------------------------------
 
+    def _scatter_sel(self, cid, bounds):
+        src_sel, dst_sel = [], []
+        for d, ((lo, hi), c) in enumerate(zip(bounds, self.chunks)):
+            c0 = cid[d] * c
+            s_lo = max(lo, c0)
+            s_hi = min(hi, c0 + c)
+            src_sel.append(slice(s_lo - c0, s_hi - c0))
+            dst_sel.append(slice(s_lo - lo, s_hi - lo))
+        return tuple(src_sel), tuple(dst_sel)
+
     def __getitem__(self, key) -> np.ndarray:
         bounds, int_axes = _normalize_selection(key, self.shape)
         out_shape = tuple(hi - lo for lo, hi in bounds)
@@ -487,16 +508,43 @@ class ZarrArray:
             for cidx in np.ndindex(*[len(r) for r in ranges])
         ]
 
+        if (
+            len(tasks) >= 8
+            and not self.filters
+            and hasattr(self.codec, "decode_batch")
+        ):
+            # bulk path: threaded raw file reads, ONE native batch decode,
+            # then scatter — avoids per-chunk Python codec dispatch
+            def read_raw(cid):
+                p = self._chunk_path(cid)
+                if not os.path.exists(p):
+                    return None
+                with open(p, "rb") as f:
+                    return f.read()
+
+            raws = list(_pool.map(read_raw, tasks))
+            present = [i for i, r in enumerate(raws) if r is not None]
+            bufs = self.codec.decode_batch([raws[i] for i in present])
+            chunks = {}
+            for j, i in enumerate(present):
+                chunks[i] = np.frombuffer(bufs[j], dtype=self.dtype).reshape(
+                    self.chunks
+                )
+            fill = None
+            for i, cid in enumerate(tasks):
+                chunk = chunks.get(i)
+                if chunk is None:
+                    if fill is None:
+                        fill = np.full(self.chunks, self.fill_value, self.dtype)
+                    chunk = fill
+                src_sel, dst_sel = self._scatter_sel(cid, bounds)
+                out[dst_sel] = chunk[src_sel]
+            return out.squeeze(axis=int_axes) if int_axes else out
+
         def fetch(cid):
             chunk = self.read_chunk(cid)
-            src_sel, dst_sel = [], []
-            for d, ((lo, hi), c) in enumerate(zip(bounds, self.chunks)):
-                c0 = cid[d] * c
-                s_lo = max(lo, c0)
-                s_hi = min(hi, c0 + c)
-                src_sel.append(slice(s_lo - c0, s_hi - c0))
-                dst_sel.append(slice(s_lo - lo, s_hi - lo))
-            out[tuple(dst_sel)] = chunk[tuple(src_sel)]
+            src_sel, dst_sel = self._scatter_sel(cid, bounds)
+            out[dst_sel] = chunk[src_sel]
 
         list(_pool.map(fetch, tasks))
         return out.squeeze(axis=int_axes) if int_axes else out
@@ -514,7 +562,7 @@ class ZarrArray:
             for cidx in np.ndindex(*[len(r) for r in ranges])
         ]
 
-        def put(cid):
+        def assemble(cid):
             src_sel, dst_sel, full = [], [], True
             for d, ((lo, hi), c, n) in enumerate(
                 zip(bounds, self.chunks, self.shape)
@@ -532,7 +580,35 @@ class ZarrArray:
             else:
                 chunk = self.read_chunk(cid)
             chunk[tuple(dst_sel)] = value[tuple(src_sel)]
-            self.write_chunk(cid, chunk)
+            return chunk
+
+        if (
+            len(tasks) >= 8
+            and not self.filters
+            and hasattr(self.codec, "encode_batch")
+        ):
+            # bulk path: threaded assembly, ONE native batch encode, then
+            # threaded file writes
+            chunks = list(_pool.map(assemble, tasks))
+            frames = self.codec.encode_batch(
+                [np.ascontiguousarray(c, dtype=self.dtype) for c in chunks],
+                self.itemsize,
+            )
+
+            def write_frame(args):
+                cid, frame = args
+                p = self._chunk_path(cid)
+                os.makedirs(os.path.dirname(p), exist_ok=True)
+                tmp = p + ".partial"
+                with open(tmp, "wb") as f:
+                    f.write(frame)
+                os.replace(tmp, p)
+
+            list(_pool.map(write_frame, zip(tasks, frames)))
+            return
+
+        def put(cid):
+            self.write_chunk(cid, assemble(cid))
 
         list(_pool.map(put, tasks))
 

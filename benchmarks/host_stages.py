@@ -124,6 +124,7 @@ def bench_zarr_store(slabs):
         arr[0:1, 0:1, k * Z : (k + 1) * Z] = slab[None, None]
     wr = _report("host_zarr_write_slab", nbytes * slabs, time.perf_counter() - t0)
 
+    os.sync()  # drain writeback so the read phase isn't polluted by it
     _ = np.asarray(arr[0, 0, 0:Z])  # warm
     t0 = time.perf_counter()
     for k in range(slabs):

@@ -110,3 +110,34 @@ def test_default_backend_roundtrip():
 def test_truncated_frame_raises():
     with pytest.raises(ValueError):
         blosc.decompress_py(b"\x02\x01")
+
+
+def test_batch_codec_roundtrip_and_fallback():
+    """Batch entry points: native thread fan-out path equals per-frame
+    results; frames the native decoder rejects fall back per-frame."""
+    rng = np.random.default_rng(7)
+    chunks = [
+        rng.integers(0, 300, size=n, dtype=np.uint16).tobytes()
+        for n in (8192, 100, 65536, 1)
+    ] + [np.zeros(4096, np.uint16)]  # ndarray input, zero-copy path
+    frames = blosc.compress_batch(chunks, typesize=2)
+    per = [
+        blosc.compress(c, typesize=2) for c in chunks
+    ]
+    assert [bytes(f) for f in frames] == [bytes(p) for p in per]
+    decoded = blosc.decompress_batch(frames)
+    want = [c.tobytes() if hasattr(c, "tobytes") else c for c in chunks]
+    assert [bytes(d) for d in decoded] == want
+    # mixed batch with a zlib frame (native rejects -> python fallback)
+    import struct as _struct
+    import zlib as _zlib
+
+    data = want[0]
+    comp = _zlib.compress(data, 1)
+    zframe = (
+        _struct.pack("<BBBBIII", 2, 1, 0x10 | (3 << 5), 2, len(data), len(data),
+                     16 + 4 + 4 + len(comp))
+        + _struct.pack("<i", 20) + _struct.pack("<i", len(comp)) + comp
+    )
+    mixed = blosc.decompress_batch([frames[1], zframe, frames[2]])
+    assert [bytes(m) for m in mixed] == [want[1], data, want[2]]
