@@ -11,11 +11,11 @@ TPU-native BaSiC model in models/basic.py.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional
 
 import numpy as np
 
-from .filtering import filter_stripes
 from .io.readers import imread
 from .models.basic import BaSiC
 
@@ -81,32 +81,53 @@ def slide_flat_estimation(
     cells_config: dict,
 ) -> dict:
     """Per-slide shading fits over destriped tiles of a SmartSPIM channel
-    tree (reference flatfield_estimation.py:125-196). ``dict_struct`` is the
-    utils.read_image_directory_structure output."""
+    tree (reference flatfield_estimation.py:125-196 surface). ``dict_struct``
+    is the utils.read_image_directory_structure output.
+
+    TPU-first execution: the reference destriped each tile with its own
+    per-plane call; here every tile of a slide is read by IO threads and
+    destriped as ONE device batch through the compiled kernel (the tiles of
+    a SmartSPIM slide share geometry), then fit."""
+    from .ops.filter import (
+        FilterConfig,
+        build_plan,
+        destripe_batch,
+        device_constants,
+    )
+
     dict_struct = dict_struct[channel_name]
     cols = list(dict_struct.keys())
     rows = [row.split("_")[-1] for row in list(dict_struct[cols[0]].keys())]
     row_name = f"{cols[0]}_{rows[0]}"
+    grid = [(col, row) for col in cols for row in rows]
+
+    cells_cfg = FilterConfig.from_dict(cells_config or {})
+    no_cells_cfg = FilterConfig.from_dict(no_cells_config or {})
 
     shading_correction_per_slide = {}
-    for slide_idx in slide_idxs:
-        slide_name = dict_struct[cols[0]][row_name][slide_idx]
-        slide_tiles = []
-        for col in cols:
-            for row in rows:
-                input_tile_path = f"{channel_name}/{col}/{col}_{row}/{slide_name}"
-                data = imread(input_tile_path)
-                data_destriped = filter_stripes(
-                    image=np.asarray(data),
-                    input_tile_path=input_tile_path,
-                    no_cells_config=no_cells_config,
-                    cells_config=cells_config,
-                )
-                slide_tiles.append(data_destriped)
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for slide_idx in slide_idxs:
+            slide_name = dict_struct[cols[0]][row_name][slide_idx]
+            paths = [
+                f"{channel_name}/{col}/{col}_{row}/{slide_name}"
+                for col, row in grid
+            ]
+            imgs = np.stack(
+                [np.asarray(d) for d in pool.map(imread, paths)]
+            ).astype(np.float32)
 
-        shading_correction_per_slide[slide_idx] = shading_correction(
-            slides=slide_tiles, shading_parameters=shading_parameters
-        )
-        shading_correction_per_slide[slide_idx]["data"] = slide_tiles
+            plan = build_plan(imgs.shape[-2], imgs.shape[-1], cells_cfg, no_cells_cfg)
+            # 2700 = filter_stripes' default microscope_high_int
+            # (reference filtering.py:423; the zarr path's 2500 only applies
+            # to the production destripe, not flat estimation)
+            destriped = np.asarray(
+                destripe_batch(plan, imgs, 2700.0, device_constants(plan))
+            )
+            slide_tiles = list(destriped)
+
+            shading_correction_per_slide[slide_idx] = shading_correction(
+                slides=slide_tiles, shading_parameters=shading_parameters
+            )
+            shading_correction_per_slide[slide_idx]["data"] = slide_tiles
 
     return shading_correction_per_slide
