@@ -31,6 +31,7 @@ Replicated reference quirks (they define the golden output):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import lru_cache, partial
 from typing import Optional, Tuple
@@ -40,6 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import fft_notch
+from . import pallas_band
 from . import wavelets
 from .otsu import threshold_otsu_batch
 from .wavelets import wavedec2_shapes, wavelet
@@ -137,7 +139,7 @@ class DestripePlan:
         syn = wavelets.synthesis_operators(
             (self.height, self.width), wav, self.n_levels
         )
-        return {
+        out = {
             "an_y": tuple(p[0] for p in an),
             "an_x_lo": tuple(p[1][: p[1].shape[0] // 2] for p in an),
             "syn_y": tuple(p[0] for p in syn),
@@ -149,6 +151,99 @@ class DestripePlan:
                 for (bc, bn) in self.notch_matrices()
             ),
         }
+        # Blocked banded operators for the finest level (Pallas fast path,
+        # ops/pallas_band.py) — only where the kernels can run; elsewhere
+        # (CPU tests, tiny geometries) the dense path reads the keys'
+        # absence and the pytree stays lean.
+        if pallas_band.available() and os.environ.get(
+            "DESTRIPE_NO_PALLAS", "0"
+        ) != "1":
+            band = band_operators(self)
+            if band is not None:
+                out.update(band)
+        return out
+
+
+@lru_cache(maxsize=32)
+def band_spec(plan: "DestripePlan") -> Optional[dict]:
+    """Static geometry of the blocked banded-operator kernels for the FINEST
+    level (ops/pallas_band.py), or None when the plan is too small for the
+    blocking to pay off / fit the window formulas. All window starts follow
+    ``clip(stride*i - pad, 0, smax)`` — the same closed form the kernels
+    evaluate — and :func:`pallas_band.blocked_operator` verifies band
+    coverage exactly, so an infeasible geometry raises there and disables
+    the path instead of corrupting output."""
+    H, W = plan.height, plan.width
+    if plan.n_levels < 1 or H * W < 400_000 or H < 560 or W < 560:
+        return None
+    L_h, L_w = plan.ladder[-1]  # finest detail shape
+    rup = lambda a, b: -(-a // b) * b  # noqa: E731
+    cdiv = lambda a, b: -(-a // b)  # noqa: E731
+    try:
+        spec = {
+            # K1: analysis x lowpass (lane contraction, 128-aligned)
+            "k1": dict(nc=cdiv(L_w, 128), w=384, stride=256, pad=128,
+                       smax=rup(W, 128) - 384, r=128),
+            # K2: analysis y lo+hi (sublane contraction)
+            "k2": dict(nr=cdiv(L_h, 128), w=272, stride=256, pad=8,
+                       smax=H - 272, r=128),
+            # K3: synthesis y of [cA-corr; cH-delta] — smax clamps to the
+            # LOGICAL coefficient extent (dynamic-slice starts clamp there)
+            "k3": dict(nt=cdiv(H, 256), w=144, stride=128, pad=8,
+                       smax=L_h - 144, r=256),
+            # K4: synthesis x lowpass + exp epilogue (lane contraction)
+            "k4": dict(nc=cdiv(W, 256), w=384, stride=128, pad=128,
+                       smax=rup(L_w, 128) - 384, r=256),
+        }
+        if any(v["smax"] < 0 for v in spec.values()):
+            return None
+        for k in spec:
+            spec[k]["starts"] = pallas_band.window_starts(
+                spec[k]["nc" if k in ("k1", "k4") else
+                        ("nr" if k == "k2" else "nt")],
+                spec[k]["stride"], spec[k]["pad"], spec[k]["smax"],
+            )
+        return spec
+    except Exception:  # pragma: no cover - geometry corner
+        return None
+
+
+def band_operators(plan: "DestripePlan") -> Optional[dict]:
+    """Blocked banded operator arrays for the finest level (numpy), keyed
+    bk1..bk4(lo/hi); None when :func:`band_spec` rejects the geometry or a
+    window fails the exact coverage check."""
+    spec = band_spec(plan)
+    if spec is None:
+        return None
+    H, W = plan.height, plan.width
+    L_h, L_w = plan.ladder[-1]
+    wav_name = plan.wavelet
+    try:
+        Ax = wavelets.analysis_operator(W, wav_name)  # (2*L_w, W)
+        Ay = wavelets.analysis_operator(H, wav_name)  # (2*L_h, H)
+        Sy = wavelets.synthesis_operator(L_h, wav_name)[:H]  # (H, 2*L_h)
+        Sx = wavelets.synthesis_operator(L_w, wav_name)[:W, :L_w]  # (W, L_w)
+        k1, k2, k3, k4 = spec["k1"], spec["k2"], spec["k3"], spec["k4"]
+        b2lo = pallas_band.blocked_operator(
+            Ay[:L_h], k2["r"], k2["w"], k2["starts"])
+        b2hi = pallas_band.blocked_operator(
+            Ay[L_h:], k2["r"], k2["w"], k2["starts"])
+        # hi/lo bf16 splits happen on the HOST: an XLA-level split would be
+        # folded away under --xla_allow_excess_precision (see pallas_band)
+        split = pallas_band.split_bf16_np
+        return {
+            "bk1": split(pallas_band.blocked_operator(
+                Ax[:L_w], k1["r"], k1["w"], k1["starts"])),
+            "bk2": split(np.concatenate([b2lo, b2hi], axis=2)),
+            "bk3_lo": split(pallas_band.blocked_operator(
+                Sy[:, :L_h], k3["r"], k3["w"], k3["starts"])),
+            "bk3_hi": split(pallas_band.blocked_operator(
+                Sy[:, L_h:], k3["r"], k3["w"], k3["starts"])),
+            "bk4": split(pallas_band.blocked_operator(
+                Sx, k4["r"], k4["w"], k4["starts"])),
+        }
+    except ValueError:  # band wider than a window: fall back to dense
+        return None
 
 
 @lru_cache(maxsize=32)
@@ -182,6 +277,46 @@ def build_plan(
 # ---------------------------------------------------------------------------
 
 
+# Below this many pixels per plane the fixed pallas_call overhead exceeds the
+# entire XLA reduction for the Otsu/median kernels, so coarse wavelet levels
+# route through the (bit-identical) XLA formulation instead. Trace-tuned at
+# production geometry (the five coarsest of 8 levels fall under it).
+_PALLAS_MIN_PX = int(os.environ.get("DESTRIPE_PALLAS_MIN_PX", str(32 * 1024)))
+
+
+@lru_cache(maxsize=8)
+def _classifier_cut(
+    center: float, crossover: float, threshold_mask: float
+) -> Optional[float]:
+    """Exact single-compare form of the float16 sigmoid classifier.
+
+    The reference computes, entirely in float16, ``sigmoid((x - center) /
+    crossover) > threshold_mask`` (filtering.py:54-88). Every step is weakly
+    monotone in x, so over the finite float16 lattice the predicate is
+    equivalent to ``x16 >= cut`` for one breakpoint — found here by
+    evaluating the exact numpy float16 chain on all 65536 half-precision bit
+    patterns. Returns the breakpoint, or None if monotonicity ever fails
+    (callers then keep the transcendental formulation). Removes the exp from
+    the per-plane classifier, whose VPU cost is visible at production batch.
+    """
+    bits = np.arange(65536, dtype=np.uint16)
+    v = bits.view(np.float16)
+    sel = np.isfinite(v) | np.isinf(v)  # drop NaNs (compare False either way)
+    v = v[sel]
+    with np.errstate(over="ignore", invalid="ignore"):
+        z = (v - np.float16(center)) / np.float16(crossover)
+        frac = np.float16(1) / (np.float16(1) + np.exp(-z))
+    m = frac > np.float16(threshold_mask)
+    order = np.argsort(v.astype(np.float64), kind="stable")
+    vs, ms = v[order], m[order]
+    if not ms.any():
+        return None  # never a cell: no compare-form breakpoint exists
+    first = int(np.argmax(ms))
+    if not bool(np.all(ms[first:])) or bool(np.any(ms[:first])):
+        return None  # not monotone: keep the sigmoid path
+    return float(vs[first])
+
+
 def classify_planes(
     images: jax.Array,
     microscope_high_int: float,
@@ -190,9 +325,13 @@ def classify_planes(
     """Per-plane bool: does this plane contain cells? Mirrors the float16
     sigmoid foreground classifier and the fore/back mean comparison."""
     x16 = images.astype(jnp.float16)
-    z = (x16 - jnp.float16(400.0)) / jnp.float16(20.0)
-    frac = 1 / (1 + jnp.exp(-z))
-    cell_mask = frac > jnp.float16(threshold_mask)
+    cut = _classifier_cut(400.0, 20.0, float(threshold_mask))
+    if cut is not None:
+        cell_mask = x16 >= jnp.float16(cut)
+    else:  # pragma: no cover - production params are monotone
+        z = (x16 - jnp.float16(400.0)) / jnp.float16(20.0)
+        frac = 1 / (1 + jnp.exp(-z))
+        cell_mask = frac > jnp.float16(threshold_mask)
 
     imgs = images.astype(jnp.float32)
     axes = tuple(range(1, images.ndim))
@@ -208,17 +347,16 @@ def classify_planes(
     return (fg_mean > bg_mean) & (fg_mean > microscope_high_int)
 
 
-def _row_median(x: jax.Array) -> jax.Array:
+def _row_median(x: jax.Array, pallas: bool = True) -> jax.Array:
     """Exact median over the last axis, keepdims.
 
     On TPU: sort-free Pallas radix bisection (ops/pallas_median.py) — one
     VMEM pass instead of a bitonic sort. Elsewhere: a values-only lax.sort
     (still ~2x cheaper than jnp.median's stable (f32, s32) tuple sort). Both
     are exact."""
-    import os
-
     if (
-        jax.default_backend() == "tpu"
+        pallas
+        and jax.default_backend() == "tpu"
         and x.dtype == jnp.float32
         and os.environ.get("DESTRIPE_NO_PALLAS", "0") != "1"
     ):
@@ -247,14 +385,13 @@ def _filter_level(
     thr_cells: float,
     thr_no_cells: float,
 ) -> jax.Array:
-    import os
-
     w = ch.shape[-1]
     max_thr = jnp.where(is_cells, thr_cells, thr_no_cells)
 
     use_pallas = (
         jax.default_backend() == "tpu"
         and ch.dtype == jnp.float32
+        and ch.shape[-2] * ch.shape[-1] >= _PALLAS_MIN_PX
         and os.environ.get("DESTRIPE_NO_PALLAS", "0") != "1"
     )
     if use_pallas:
@@ -282,14 +419,14 @@ def _filter_level(
     ch_sq = ch * ch
     ch_power = jnp.sqrt(ch_sq)
 
-    otsu_sqrt = jnp.sqrt(threshold_otsu_batch(ch_sq))  # (B,)
+    otsu_sqrt = jnp.sqrt(threshold_otsu_batch(ch_sq, pallas=False))  # (B,)
     threshold = jnp.minimum(max_thr, otsu_sqrt)[:, None, None]
 
     mask = (ch_power > threshold).astype(ch.dtype)
     foreground = ch * mask
     background = ch * (1.0 - mask)
 
-    background_means = _row_median(background)
+    background_means = _row_median(background, pallas=False)
     background_inpainted = background + background_means * mask
 
     both = jnp.matmul(
@@ -312,11 +449,33 @@ def destripe_batch(
     images: jax.Array,  # (B, H, W) float32 (or integer; cast internally)
     microscope_high_int: float = 2700.0,
     consts=None,
+    flat: Optional[jax.Array] = None,
+    dark: Optional[jax.Array] = None,
+    wrap: bool = False,
 ) -> jax.Array:
     """log-space wavelet-FFT destripe of a batch of planes; returns float32
     of the same shape. Jit with ``plan`` static (it is hashable) and, for
     production geometries, pass ``consts=plan.constants()`` as a device
-    argument so the operator matrices stay out of the compiled graph."""
+    argument so the operator matrices stay out of the compiled graph.
+
+    Optional fused epilogues (uint16 output, one less HBM round trip on the
+    Pallas band path): ``flat``/``dark`` apply the flat-field correction
+    (reference filtering.py:470-489); ``wrap=True`` applies the zarr-store
+    modulo-2^16 cast (reference zarr_destriper.py:336 parity)."""
+    if flat is not None and wrap:
+        raise ValueError("flat-field and wrap epilogues are exclusive")
+
+    def epilogue(y):
+        if flat is not None:
+            from .flatfield import flatfield_correction
+
+            return flatfield_correction(y, flat, dark)
+        if wrap:
+            return jnp.mod(jnp.trunc(y).astype(jnp.int32), 65536).astype(
+                jnp.uint16
+            )
+        return y
+
     x = images.astype(jnp.float32)
     is_cells = classify_planes(x, microscope_high_int)
 
@@ -324,11 +483,16 @@ def destripe_batch(
 
     if plan.n_levels == 0:
         # Degenerate tiny-image case: wavedec2 returns [x] untouched.
-        return jnp.exp(xlog) + 1.0
+        return epilogue(jnp.exp(xlog) + 1.0)
 
     if consts is None:
         consts = plan.constants()
     P = jax.lax.Precision.HIGH
+
+    # Blocked banded Pallas kernels carry the finest level (~75% of the MXU
+    # work) when the plan built their operators — 4-6x fewer FLOPs than the
+    # dense operators at the same bf16x3 precision (ops/pallas_band.py).
+    band = band_spec(plan) if "bk1" in consts else None
 
     # Analysis, finest -> coarsest. Only cA (to recurse) and cH (to filter)
     # are consumed, so the x-pass applies the lowpass half only — and it
@@ -338,7 +502,20 @@ def destripe_batch(
     # ~5 ms/step at B=64 production geometry).
     chs = []
     a = xlog
-    for an_y, an_x_lo in zip(consts["an_y"], consts["an_x_lo"]):
+    for lvl, (an_y, an_x_lo) in enumerate(
+        zip(consts["an_y"], consts["an_x_lo"])
+    ):
+        if lvl == 0 and band is not None:
+            L_h, L_w = plan.ladder[-1]
+            lox_w = pallas_band.an_x_lowpass_log1p(
+                x, consts["bk1"], band["k1"]["starts"], L_w
+            )
+            a, ch = pallas_band.an_y_pass(
+                lox_w, consts["bk2"], band["k2"]["stride"],
+                band["k2"]["pad"], L_h,
+            )
+            chs.append(ch)
+            continue
         lox_w = jnp.einsum(
             "...hw,jw->...hj", a, jnp.asarray(an_x_lo), precision=P
         )
@@ -366,9 +543,33 @@ def destripe_batch(
     # correction [accumulated coarser correction; cH delta] needs the
     # synthesis operators — and only their lowpass-x half.
     corr = None
-    for delta, syn_y, syn_x_lo in zip(
-        deltas, consts["syn_y"], consts["syn_x_lo"]
+    n_lvls = len(deltas)
+    for i, (delta, syn_y, syn_x_lo) in enumerate(
+        zip(deltas, consts["syn_y"], consts["syn_x_lo"])
     ):
+        if i == n_lvls - 1 and band is not None:
+            # finest level: fused Pallas synthesis + exp (+ output) epilogue
+            stacked_y = pallas_band.syn_y_pass(
+                corr, delta, consts["bk3_lo"], consts["bk3_hi"],
+                band["k3"]["stride"], band["k3"]["pad"], plan.height,
+            )
+            fuse_flat = (
+                flat is not None
+                and dark is not None
+                and getattr(flat, "shape", None) == (plan.height, plan.width)
+                and getattr(dark, "shape", None) == (plan.height, plan.width)
+            )
+            if fuse_flat:
+                return pallas_band.syn_x_exp(
+                    stacked_y, x, consts["bk4"], band["k4"]["starts"],
+                    plan.width, flat=jnp.asarray(flat, jnp.float32),
+                    dark=jnp.asarray(dark, jnp.float32),
+                )
+            out = pallas_band.syn_x_exp(
+                stacked_y, x, consts["bk4"], band["k4"]["starts"],
+                plan.width, wrap=wrap,
+            )
+            return out if wrap else epilogue(out)
         syn_y = jnp.asarray(syn_y)
         L_h = syn_y.shape[-1] // 2
         if corr is None:
@@ -383,7 +584,7 @@ def destripe_batch(
         )
 
     y = xlog + corr
-    return jnp.exp(y) + 1.0
+    return epilogue(jnp.exp(y) + 1.0)
 
 
 # ---------------------------------------------------------------------------

@@ -60,7 +60,8 @@ def threshold_otsu(x: jnp.ndarray, nbins: int = 256) -> jnp.ndarray:
 
 
 def threshold_otsu_batch(
-    x: jnp.ndarray, nbins: int = 256, square: bool = False
+    x: jnp.ndarray, nbins: int = 256, square: bool = False,
+    pallas: "bool | None" = None,
 ) -> jnp.ndarray:
     """Per-plane Otsu thresholds for a (B, H, W) batch.
 
@@ -72,12 +73,17 @@ def threshold_otsu_batch(
     (ops/pallas_hist.py, ~8x cheaper than the broadcast-compare loop);
     elsewhere (or with DESTRIPE_NO_PALLAS=1) it falls back to vmapping
     :func:`threshold_otsu`. Binning math is identical in both paths.
+    ``pallas``: force (True) or forbid (False) the Pallas kernel; None =
+    auto. Callers gate tiny inputs to False — below ~32k px/plane the
+    pallas_call overhead exceeds the whole XLA reduction.
     """
     use_pallas = (
         nbins == 256
         and x.ndim == 3
         and jax.default_backend() == "tpu"
         and os.environ.get("DESTRIPE_NO_PALLAS", "0") != "1"
+        if pallas is None
+        else pallas
     )
     if not use_pallas:
         xs = x * x if square else x

@@ -1,0 +1,465 @@
+"""
+Pallas TPU kernels: blocked banded-operator matmuls for the DWT hot passes.
+
+The dense per-geometry DWT operators (ops/wavelets.py) keep the MXU busy but
+multiply ~99.6% zeros: an analysis operator row has only ``flen`` nonzeros.
+Earlier attempts to exploit the band lost everything to data movement (XLA
+strided slices relayout whole arrays; a window-DMA Pallas kernel was bound by
+misaligned copies and an XLA-materialized symmetric extension — see
+ops/pallas_dwt.py). This module uses a layout that avoids both:
+
+- each grid step holds the FULL contraction axis of its tile in VMEM
+  (always affordable: the longest axis is ~2048 lanes), and
+- the banded operator is pre-sliced on the host into per-output-block
+  windows (:func:`blocked_operator`), so the kernel runs a few small ALIGNED
+  in-VMEM slices ``x[s : s + w_win] @ block`` instead of one dense matmul —
+  4-6x fewer MXU FLOPs at production geometry. Window starts follow a
+  closed-form ``clip(stride*idx - pad, 0, smax)`` shared between the host
+  blocking and the kernel, and :func:`blocked_operator` verifies exactly
+  that every nonzero of each output block falls inside its window.
+
+Numerics: operands are split hi/lo into bfloat16 and accumulated in float32
+over three dots (hi@hi + hi@lo + lo@hi), reproducing XLA's HIGH matmul
+precision (the dense path's setting); one window spans the whole band of an
+output element, so each output is still a single short dot — only the
+(zero) tail of the contraction is regrouped. The destripe golden gate
+(60 dB, measured 86-102 dB) covers the path end to end.
+
+Replaces (reference filtering.py:176,221 — pywt wavedec2/waverec2 passes):
+- :func:`an_x_lowpass_log1p` — log(1.0+x) -> lowpass x-pass (analysis)
+- :func:`an_y_pass` — lowpass+highpass y-pass (analysis)
+- :func:`syn_y_pass` — stacked [cA-correction; cH-delta] y synthesis
+- :func:`syn_x_exp` — lowpass x synthesis + ``exp(xlog + corr) + 1.0``
+  (optionally fused with the flat-field epilogue, reference
+  filtering.py:222,338-414)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "available",
+    "blocked_operator",
+    "an_x_lowpass_log1p",
+    "an_y_pass",
+    "syn_y_pass",
+    "syn_x_exp",
+]
+
+
+def available() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _rup(a: int, b: int) -> int:
+    return _cdiv(a, b) * b
+
+
+def window_starts(
+    n_blocks: int, stride: int, pad: int, smax: int
+) -> Tuple[int, ...]:
+    """Closed-form window starts: ``clip(stride*i - pad, 0, smax)``."""
+    return tuple(min(max(stride * i - pad, 0), smax) for i in range(n_blocks))
+
+
+def blocked_operator(
+    A: np.ndarray, r_out: int, w_win: int, starts: Tuple[int, ...],
+    row_blocks: Optional[Tuple[Tuple[int, int], ...]] = None,
+) -> np.ndarray:
+    """Slice a banded dense operator ``A (m, n)`` into per-output-block
+    windows.
+
+    ``row_blocks`` lists the (start, stop) output-row ranges per block
+    (default: consecutive ``r_out`` rows). Block ``i`` keeps contraction
+    columns ``[starts[i], starts[i] + w_win)``; raises if any nonzero falls
+    outside (the window formula must cover the band). Returns blocks shaped
+    ``(n_blocks, w_win, rows_per_block)`` — transposed so kernels compute
+    ``x_window @ block``.
+    """
+    m, n = A.shape
+    if row_blocks is None:
+        row_blocks = tuple(
+            (i * r_out, min((i + 1) * r_out, m))
+            for i in range(_cdiv(m, r_out))
+        )
+    rows_per = max(b - a for a, b in row_blocks)
+    blocks = np.zeros((len(row_blocks), w_win, rows_per), dtype=np.float32)
+    for i, ((a, b), s) in enumerate(zip(row_blocks, starts)):
+        rows = A[a:b]
+        nz = np.nonzero(np.any(rows != 0.0, axis=0))[0]
+        if nz.size and (int(nz[0]) < s or int(nz[-1]) >= s + w_win):
+            raise ValueError(
+                f"band of output block {i} ({nz[0]}..{nz[-1]}) outside "
+                f"window [{s}, {s + w_win})"
+            )
+        lo, hi = s, min(s + w_win, n)
+        blocks[i, : hi - lo, : b - a] = rows[:, lo:hi].T
+    return blocks
+
+
+def _split_bf16(x):
+    """In-KERNEL hi/lo bf16 split (Mosaic compiles this faithfully).
+
+    Never emit this split at the XLA level: under
+    ``--xla_allow_excess_precision`` (set in production TPU environments)
+    XLA folds ``x - f32(bf16(x))`` to zero, silently degrading the 3-pass
+    accumulation to single-pass bf16 (measured: 2.2e-5 -> 1.1e-3 rel).
+    Operator splits are therefore done on the HOST (:func:`split_bf16_np`).
+    """
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def split_bf16_np(a: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side round-to-nearest hi/lo bf16 split (numpy + ml_dtypes)."""
+    import ml_dtypes
+
+    a = np.asarray(a, dtype=np.float32)
+    hi = a.astype(ml_dtypes.bfloat16)
+    lo = (a - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return hi, lo
+
+
+def _dot3(xh, xl, bh, bl, dims):
+    """f32 accumulation over three bf16 dots == lax.Precision.HIGH."""
+
+    def d(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(dims, ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return d(xh, bh) + d(xh, bl) + d(xl, bh)
+
+
+# ---------------------------------------------------------------------------
+# K1: analysis x-pass, lowpass only, log(1.0 + x) fused
+# ---------------------------------------------------------------------------
+
+
+def an_x_lowpass_log1p(
+    x: jax.Array,  # (B, H, W) uint16/float32 raw planes
+    blocks: Tuple[jax.Array, jax.Array],  # host-split (hi, lo) bf16
+    starts: Tuple[int, ...],
+    out_w: int,
+    rows_tile: int = 320,
+    interpret: bool = False,
+) -> jax.Array:
+    """``log(1.0 + x) @ A_x_lo^T`` — the finest-level analysis x-pass with
+    the log-space transform fused (reference filtering.py:175-176). The
+    contraction is over lanes; window starts are 128-aligned so the in-VMEM
+    slices are free. ``blocks``: (hi, lo) bf16 windows from
+    :func:`split_bf16_np`, shaped (nc, w_win, r_out).
+    Returns (B, H, out_w) float32."""
+    B, H, W = x.shape
+    bh, bl = blocks
+    nc, w_win, r_out = bh.shape
+    w_pad = _rup(W, 128)
+    n_rt = _cdiv(H, rows_tile)
+    # Boundary-block lane padding is undefined. Integer garbage stays finite
+    # (0 * finite = 0 through the zero operator tail) but float garbage can
+    # be NaN/Inf, which would poison the dot — mask it. Ragged ROWS need no
+    # mask: the contraction is over lanes, so garbage rows stay in their own
+    # output rows and the partial store discards them.
+    mask_lanes = W != w_pad and not np.issubdtype(
+        np.dtype(x.dtype), np.integer
+    )
+
+    def kernel(bh_ref, bl_ref, x_ref, o_ref):
+        xt = x_ref[0].astype(jnp.float32)
+        if mask_lanes:
+            lane = jax.lax.broadcasted_iota(jnp.int32, xt.shape, 1)
+            xt = jnp.where(lane < W, xt, 0.0)
+        xt = jnp.log(1.0 + xt)
+        xh, xl = _split_bf16(xt)
+        for c in range(nc):
+            s = starts[c]
+            o_ref[0, :, c * r_out : (c + 1) * r_out] = _dot3(
+                xh[:, s : s + w_win], xl[:, s : s + w_win],
+                bh_ref[c], bl_ref[c], ((1,), (0,)),
+            )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B, n_rt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows_tile, w_pad), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows_tile, nc * r_out),
+                               lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, out_w), jnp.float32),
+        interpret=interpret,
+    )(bh, bl, x)
+
+
+# ---------------------------------------------------------------------------
+# K2: analysis y-pass (lowpass + highpass together)
+# ---------------------------------------------------------------------------
+
+
+def an_y_pass(
+    x: jax.Array,  # (B, H, W) f32 — the x-pass output
+    blocks: Tuple[jax.Array, jax.Array],  # host-split (hi, lo) bf16;
+    # shaped (nr, w_win, 2*r_out) with [:, :, :r_out] the lowpass half
+    stride: int,
+    pad: int,
+    out_h: int,
+    col_tile: int = 256,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """One analysis pass along axis -2: returns (lo, hi), each
+    (B, out_h, W). Contraction is over sublanes; windows are dynamic
+    ``pl.ds`` slices with the shared closed-form start."""
+    B, H, W = x.shape
+    bh, bl = blocks
+    nr, w_win, r2 = bh.shape
+    r_out = r2 // 2
+    n_ct = _cdiv(W, col_tile)
+    smax = H - w_win
+    # static per-block window starts (the same closed form as the builder);
+    # static slices need no Mosaic alignment proofs, and unrolling the
+    # out-row blocks into one program per (batch, col-tile) lets the ragged
+    # final block use an exact-width store
+    starts = window_starts(nr, stride, pad, smax)
+
+    def kernel(bh_ref, bl_ref, x_ref, lo_ref, hi_ref):
+        xt = x_ref[0]
+        for r in range(nr):
+            s = starts[r]
+            xh, xl = _split_bf16(xt[s : s + w_win, :])
+            # operator first so the result lands (2*r_out, ct) row-major
+            out = _dot3(bh_ref[r], bl_ref[r], xh, xl, ((0,), (0,)))
+            n = min(r_out, out_h - r * r_out)
+            lo_ref[0, r * r_out : r * r_out + n, :] = out[:n]
+            hi_ref[0, r * r_out : r * r_out + n, :] = out[r_out : r_out + n]
+
+    lo, hi = pl.pallas_call(
+        kernel,
+        grid=(B, n_ct),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, col_tile), lambda b, c: (b, 0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, out_h, col_tile), lambda b, c: (b, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, out_h, col_tile), lambda b, c: (b, 0, c),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, out_h, W), jnp.float32),
+            jax.ShapeDtypeStruct((B, out_h, W), jnp.float32),
+        ),
+        interpret=interpret,
+    )(bh, bl, x)
+    return lo, hi
+
+
+# ---------------------------------------------------------------------------
+# K3: y synthesis of the correction (stacked [cA-corr; cH-delta])
+# ---------------------------------------------------------------------------
+
+
+def syn_y_pass(
+    corr: Optional[jax.Array],  # (B, L, W) f32 or None (coarsest level)
+    delta: jax.Array,  # (B, L, W) f32
+    blocks_lo,  # host-split (hi, lo) bf16 (nt, w_win, r_out) — cA windows
+    blocks_hi,  # host-split (hi, lo) bf16 (nt, w_win, r_out) — cH windows
+    stride: int,
+    pad: int,
+    out_h: int,
+    col_tile: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """One synthesis pass along axis -2 of the correction pyramid:
+    ``S_y[:, :L] @ corr + S_y[:, L:] @ delta`` (reference waverec2 row
+    pass). ``corr=None`` skips the cA half (coarsest level: the correction
+    starts at zero). Returns (B, out_h, W) float32."""
+    B, L, W = delta.shape
+    bh_h, bh_l = blocks_hi
+    nt, w_win, r_out = bh_h.shape
+    n_ct = _cdiv(W, col_tile)
+    if w_win > L:
+        raise ValueError("window wider than the coefficient axis — use the "
+                         "dense path for tiny levels")
+    # windows clamp to the LOGICAL extent L (slices must stay in-bounds);
+    # the boundary start is generally not 8-aligned, so out-row blocks are
+    # statically unrolled into one program per (batch, col-tile)
+    smax = L - w_win
+    starts = window_starts(nt, stride, pad, smax)
+
+    with_corr = corr is not None
+    if with_corr:
+        bl_h, bl_l = blocks_lo
+
+    def kernel(*refs):
+        if with_corr:
+            bhh, bhl, blh, bll, corr_ref, delta_ref, o_ref = refs
+        else:
+            bhh, bhl, delta_ref, o_ref = refs
+        for t in range(nt):
+            s = starts[t]
+
+            def half(x_ref, b_hi_ref, b_lo_ref):
+                xh, xl = _split_bf16(x_ref[0, s : s + w_win, :])
+                return _dot3(
+                    b_hi_ref[t], b_lo_ref[t], xh, xl, ((0,), (0,)),
+                )  # (r_out, col_tile)
+
+            out = half(delta_ref, bhh, bhl)
+            if with_corr:
+                out = out + half(corr_ref, blh, bll)
+            n = min(r_out, out_h - t * r_out)
+            o_ref[0, t * r_out : t * r_out + n, :] = out[:n]
+
+    ins = [bh_h, bh_l] + ([bl_h, bl_l, corr] if with_corr else []) + [delta]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+    if with_corr:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        in_specs += [pl.BlockSpec((1, L, col_tile), lambda b, c: (b, 0, c),
+                                  memory_space=pltpu.VMEM)]
+    in_specs += [pl.BlockSpec((1, L, col_tile), lambda b, c: (b, 0, c),
+                              memory_space=pltpu.VMEM)]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B, n_ct),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, out_h, col_tile),
+                               lambda b, c: (b, 0, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, out_h, W), jnp.float32),
+        interpret=interpret,
+    )(*ins)
+
+
+# ---------------------------------------------------------------------------
+# K4: x synthesis + exp(xlog + corr) + 1.0 (+ optional flat-field epilogue)
+# ---------------------------------------------------------------------------
+
+
+def syn_x_exp(
+    stacked: jax.Array,  # (B, H, L) f32 — y-synthesized correction
+    images: jax.Array,  # (B, H, W) original planes (for the xlog residual)
+    blocks,  # host-split (hi, lo) bf16 (nc, w_win, r_out), lane contraction
+    starts: Tuple[int, ...],
+    out_w: int,
+    flat: Optional[jax.Array] = None,  # (H, W) f32
+    dark: Optional[jax.Array] = None,  # (H, W) f32
+    wrap: bool = False,
+    rows_tile: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Final synthesis x-pass fused with the filter epilogue.
+
+    Computes ``corr = stacked @ S_x_lo^T`` blockwise and returns
+    ``exp(log(1.0 + images) + corr) + 1.0`` (reference filtering.py:222's
+    exact ``exp(y) + 1.0`` quirk) — float32 output. With ``flat``/``dark``
+    it additionally applies the flat-field correction
+    (darkfield subtract clamped at 0, flatfield divide, clip) -> uint16
+    in-kernel (reference filtering.py:338-414); with ``wrap=True`` it
+    instead applies the zarr-style modulo-2^16 cast -> uint16 (reference
+    zarr_destriper.py:336 float-into-uint16-store parity). Either fused
+    epilogue saves one full-image HBM round trip.
+    """
+    B, H, L = stacked.shape
+    bh, bl = blocks
+    nc, w_win, r_out = bh.shape
+    L_pad = _rup(L, 128)
+    with_flat = flat is not None
+    if with_flat and wrap:
+        raise ValueError("flat-field and wrap epilogues are exclusive")
+    if rows_tile is None:
+        # The flat/dark VMEM-resident blocks roughly double the per-program
+        # footprint; 320 rows overflows the 16 MB scoped-vmem stack there
+        # (observed: 23 MB), so halve the tile when the epilogue is fused.
+        rows_tile = 160 if with_flat else 320
+    n_rt = _cdiv(H, rows_tile)
+
+    def kernel(*refs):
+        if with_flat:
+            bh_ref, bl_ref, st_ref, img_ref, f_ref, d_ref, o_ref = refs
+        else:
+            bh_ref, bl_ref, st_ref, img_ref, o_ref = refs
+        xt = st_ref[0]
+        lane = jax.lax.broadcasted_iota(jnp.int32, xt.shape, 1)
+        xt = jnp.where(lane < L, xt, 0.0)  # lane padding garbage
+        xh, xl = _split_bf16(xt)
+        for c in range(nc):
+            s = starts[c]
+            corr = _dot3(
+                xh[:, s : s + w_win], xl[:, s : s + w_win],
+                bh_ref[c], bl_ref[c], ((1,), (0,)),
+            )  # (rows_tile, r_out)
+            img = img_ref[0, :, c * r_out : (c + 1) * r_out].astype(
+                jnp.float32
+            )
+            y = jnp.exp(jnp.log(1.0 + img) + corr) + 1.0
+            if with_flat:
+                # exact ops/flatfield.flatfield_correction semantics
+                d = d_ref[:, c * r_out : (c + 1) * r_out]
+                y = jnp.where(y <= d, 0.0, y - d)
+                y = y / f_ref[:, c * r_out : (c + 1) * r_out]
+                # Mosaic can't lower f32->u16 directly; i32 hop is exact
+                # for clipped values and truncates toward zero like numpy
+                y = jnp.clip(y, 0.0, 65535.0).astype(jnp.int32).astype(
+                    jnp.uint16
+                )
+            elif wrap:
+                # zarr-store parity: numpy wrap cast, not XLA saturation
+                y = jnp.mod(jnp.trunc(y).astype(jnp.int32), 65536).astype(
+                    jnp.uint16
+                )
+            o_ref[0, :, c * r_out : (c + 1) * r_out] = y
+
+    ins = [bh, bl, stacked, images] + ([flat, dark] if with_flat else [])
+    # Grid order (n_rt, B): the batch axis iterates FASTEST, so the
+    # flat/dark blocks (whose index map ignores b) are fetched once per row
+    # tile instead of once per program — without this they dominate the
+    # kernel's HBM traffic (2 x 1.3 MB x B x n_rt per step).
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, rows_tile, L_pad), lambda t, b: (b, t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, rows_tile, nc * r_out), lambda t, b: (b, t, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if with_flat:
+        in_specs += [
+            pl.BlockSpec((rows_tile, nc * r_out), lambda t, b: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_tile, nc * r_out), lambda t, b: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_rt, B),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, rows_tile, nc * r_out),
+                               lambda t, b: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, H, out_w), jnp.uint16 if (with_flat or wrap) else jnp.float32
+        ),
+        interpret=interpret,
+    )(*ins)

@@ -72,15 +72,20 @@ def make_device_step(plan: DestripePlan, microscope_high_int: float,
 
     @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
     def step(plan, images, flat, dark, consts):
-        filtered = destripe_batch(plan, images, microscope_high_int, consts)
+        # Epilogues fuse into the destripe kernel (on the Pallas band path
+        # they run inside the final synthesis program — one less full-image
+        # HBM round trip): flat-field correction when flats are provided,
+        # else the zarr-store wrap cast (zarr_destriper.py:336 assigns the
+        # unclipped float into a uint16 zarr, which wraps modulo 2**16 via
+        # numpy astype; a bare XLA astype would saturate instead).
         if with_flatfield:
-            return flatfield_correction(filtered, flat, dark)
-        # Reference parity: zarr_destriper.py:336 assigns the unclipped float
-        # into a uint16 zarr, which wraps modulo 2**16 via numpy astype
-        # (65537.0 -> 1, -1.0 -> 65535). A bare XLA astype would saturate
-        # instead, diverging on bright pixels — truncate and wrap explicitly.
-        wrapped = jnp.mod(jnp.trunc(filtered).astype(jnp.int32), 65536)
-        return wrapped.astype(jnp.uint16)
+            return destripe_batch(
+                plan, images, microscope_high_int, consts,
+                flat=flat, dark=dark,
+            )
+        return destripe_batch(
+            plan, images, microscope_high_int, consts, wrap=True
+        )
 
     return lambda images, flat, dark: step(plan, images, flat, dark, consts)
 

@@ -51,8 +51,8 @@ def main():
 
     @partial(jax.jit, static_argnums=(0,))
     def step(plan, images, flat, dark, consts):
-        return flatfield_correction(
-            destripe_batch(plan, images, 2500.0, consts), flat, dark
+        return destripe_batch(
+            plan, images, 2500.0, consts, flat=flat, dark=dark
         )
 
     @partial(jax.jit, static_argnums=(0, 1))
@@ -64,9 +64,7 @@ def main():
 
         def body(x, _):
             return (
-                flatfield_correction(
-                    destripe_batch(plan, x, 2500.0, consts), flat, dark
-                ),
+                destripe_batch(plan, x, 2500.0, consts, flat=flat, dark=dark),
                 (),
             )
 
