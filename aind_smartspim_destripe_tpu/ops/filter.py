@@ -42,6 +42,7 @@ import numpy as np
 
 from . import fft_notch
 from . import pallas_band
+from . import pallas_notch
 from . import wavelets
 from .otsu import threshold_otsu_batch
 from .wavelets import wavedec2_shapes, wavelet
@@ -151,32 +152,61 @@ class DestripePlan:
                 for (bc, bn) in self.notch_matrices()
             ),
         }
-        # Blocked banded operators for the finest level (Pallas fast path,
-        # ops/pallas_band.py) — only where the kernels can run; elsewhere
-        # (CPU tests, tiny geometries) the dense path reads the keys'
-        # absence and the pytree stays lean.
+        # Blocked banded operators per bandable level (Pallas fast path,
+        # ops/pallas_band.py), finest first — only where the kernels can
+        # run; elsewhere (CPU tests, tiny geometries) the dense path reads
+        # the keys' absence and the pytree stays lean.
         if pallas_band.available() and os.environ.get(
             "DESTRIPE_NO_PALLAS", "0"
         ) != "1":
-            band = band_operators(self)
-            if band is not None:
-                out.update(band)
+            for lvl in range(self.n_levels):
+                band = band_operators(self, lvl)
+                if band is None:
+                    break  # coarser levels only shrink — stop at first miss
+                out[f"band{lvl}"] = band
+            # Stacked per-plane-selectable notch operators (coarsest first,
+            # aligned with notch_cat) for the fused notch->delta kernel
+            # (ops/pallas_notch.py); None marks levels below the Pallas
+            # pay-off gate, which keep the dense both-bands formulation.
+            out["notch_sel"] = tuple(
+                pallas_notch.stacked_notch_operators(bc, bn)
+                if lh * lw >= _PALLAS_MIN_PX
+                else None
+                for (lh, lw), (bc, bn) in zip(
+                    self.ladder, self.notch_matrices()
+                )
+            )
         return out
 
 
-@lru_cache(maxsize=32)
-def band_spec(plan: "DestripePlan") -> Optional[dict]:
-    """Static geometry of the blocked banded-operator kernels for the FINEST
-    level (ops/pallas_band.py), or None when the plan is too small for the
-    blocking to pay off / fit the window formulas. All window starts follow
-    ``clip(stride*i - pad, 0, smax)`` — the same closed form the kernels
-    evaluate — and :func:`pallas_band.blocked_operator` verifies band
-    coverage exactly, so an infeasible geometry raises there and disables
-    the path instead of corrupting output."""
-    H, W = plan.height, plan.width
-    if plan.n_levels < 1 or H * W < 400_000 or H < 560 or W < 560:
+def _band_level_geometry(
+    plan: "DestripePlan", lvl: int
+) -> Tuple[int, int, int, int]:
+    """(h, w, lh, lw): input extent and detail extent of analysis level
+    ``lvl`` (0 = finest). cA and cH of a level share a shape, so the input
+    of level ``lvl >= 1`` is the detail shape of level ``lvl - 1``."""
+    if lvl == 0:
+        h, w = plan.height, plan.width
+    else:
+        h, w = plan.ladder[-lvl]
+    lh, lw = plan.ladder[-1 - lvl]
+    return h, w, lh, lw
+
+
+@lru_cache(maxsize=128)
+def band_spec(plan: "DestripePlan", lvl: int = 0) -> Optional[dict]:
+    """Static geometry of the blocked banded-operator kernels for analysis
+    level ``lvl`` (0 = finest; ops/pallas_band.py), or None when the level
+    is too small for the blocking to pay off / fit the window formulas. All
+    window starts follow ``clip(stride*i - pad, 0, smax)`` — the same closed
+    form the kernels evaluate — and :func:`pallas_band.blocked_operator`
+    verifies band coverage exactly, so an infeasible geometry raises there
+    and disables the path instead of corrupting output."""
+    if not 0 <= lvl < plan.n_levels:
         return None
-    L_h, L_w = plan.ladder[-1]  # finest detail shape
+    H, W, L_h, L_w = _band_level_geometry(plan, lvl)
+    if H * W < 400_000 or H < 560 or W < 560:
+        return None
     rup = lambda a, b: -(-a // b) * b  # noqa: E731
     cdiv = lambda a, b: -(-a // b)  # noqa: E731
     try:
@@ -208,15 +238,14 @@ def band_spec(plan: "DestripePlan") -> Optional[dict]:
         return None
 
 
-def band_operators(plan: "DestripePlan") -> Optional[dict]:
-    """Blocked banded operator arrays for the finest level (numpy), keyed
-    bk1..bk4(lo/hi); None when :func:`band_spec` rejects the geometry or a
-    window fails the exact coverage check."""
-    spec = band_spec(plan)
+def band_operators(plan: "DestripePlan", lvl: int = 0) -> Optional[dict]:
+    """Blocked banded operator arrays for analysis level ``lvl`` (numpy),
+    keyed bk1..bk4(lo/hi); None when :func:`band_spec` rejects the geometry
+    or a window fails the exact coverage check."""
+    spec = band_spec(plan, lvl)
     if spec is None:
         return None
-    H, W = plan.height, plan.width
-    L_h, L_w = plan.ladder[-1]
+    H, W, L_h, L_w = _band_level_geometry(plan, lvl)
     wav_name = plan.wavelet
     try:
         Ax = wavelets.analysis_operator(W, wav_name)  # (2*L_w, W)
@@ -439,6 +468,40 @@ def _filter_level(
     return foreground + background_filtered * (1.0 - mask)
 
 
+def _filter_level_delta(
+    ch: jax.Array,
+    is_cells: jax.Array,
+    bmat_cat: jax.Array,
+    thr_cells: float,
+    thr_no_cells: float,
+    notch_sel=None,  # stacked (hi, lo) bf16 operators, or None
+) -> jax.Array:
+    """Per-level synthesis delta ``filter(ch) - ch``. With ``notch_sel``
+    (TPU) the whole mask -> inpaint -> per-plane notch -> delta tail runs in
+    one Pallas program (ops/pallas_notch.py) at HALF the notch FLOPs — the
+    operator is chosen per plane instead of computing both bands. Falls back
+    to :func:`_filter_level` minus ch elsewhere (identical numerics)."""
+    use_fused = (
+        notch_sel is not None
+        and jax.default_backend() == "tpu"
+        and ch.dtype == jnp.float32
+        and ch.shape[-2] * ch.shape[-1] >= _PALLAS_MIN_PX
+        and os.environ.get("DESTRIPE_NO_PALLAS", "0") != "1"
+    )
+    if use_fused:
+        from .pallas_median import row_median_masked
+
+        max_thr = jnp.where(is_cells, thr_cells, thr_no_cells)
+        otsu_sqrt = jnp.sqrt(threshold_otsu_batch(ch, square=True))
+        threshold = jnp.minimum(max_thr, otsu_sqrt)
+        med_raw = row_median_masked(ch, threshold, raw=True)
+        sel_idx = jnp.where(is_cells, 0, 1)
+        return pallas_notch.notch_delta(
+            ch, med_raw, threshold, sel_idx, notch_sel
+        )
+    return _filter_level(ch, is_cells, bmat_cat, thr_cells, thr_no_cells) - ch
+
+
 # ---------------------------------------------------------------------------
 # The full batched kernel
 # ---------------------------------------------------------------------------
@@ -489,10 +552,14 @@ def destripe_batch(
         consts = plan.constants()
     P = jax.lax.Precision.HIGH
 
-    # Blocked banded Pallas kernels carry the finest level (~75% of the MXU
-    # work) when the plan built their operators — 4-6x fewer FLOPs than the
-    # dense operators at the same bf16x3 precision (ops/pallas_band.py).
-    band = band_spec(plan) if "bk1" in consts else None
+    # Blocked banded Pallas kernels carry the finest levels (~94% of the
+    # MXU work) when the plan built their operators — 4-6x fewer FLOPs than
+    # the dense operators at the same bf16x3 precision (ops/pallas_band.py).
+    bands = {
+        lvl: band_spec(plan, lvl)
+        for lvl in range(plan.n_levels)
+        if f"band{lvl}" in consts
+    }
 
     # Analysis, finest -> coarsest. Only cA (to recurse) and cH (to filter)
     # are consumed, so the x-pass applies the lowpass half only — and it
@@ -505,14 +572,22 @@ def destripe_batch(
     for lvl, (an_y, an_x_lo) in enumerate(
         zip(consts["an_y"], consts["an_x_lo"])
     ):
-        if lvl == 0 and band is not None:
-            L_h, L_w = plan.ladder[-1]
+        bspec = bands.get(lvl)
+        if bspec is not None:
+            bops = consts[f"band{lvl}"]
+            L_h, L_w = plan.ladder[-1 - lvl]
+            # Level 0 takes the RAW input, not the f32 cast: the kernel
+            # converts in-VMEM (and fuses log1p), so XLA never materializes
+            # the f32 copy of the whole batch (the classifier's reduce
+            # fusions convert on the fly too). Deeper levels consume the
+            # previous cA, already in log space.
             lox_w = pallas_band.an_x_lowpass_log1p(
-                x, consts["bk1"], band["k1"]["starts"], L_w
+                images if lvl == 0 else a, bops["bk1"],
+                bspec["k1"]["starts"], L_w, log1p=(lvl == 0),
             )
             a, ch = pallas_band.an_y_pass(
-                lox_w, consts["bk2"], band["k2"]["stride"],
-                band["k2"]["pad"], L_h,
+                lox_w, bops["bk2"], bspec["k2"]["stride"],
+                bspec["k2"]["pad"], L_h,
             )
             chs.append(ch)
             continue
@@ -528,15 +603,17 @@ def destripe_batch(
 
     # Filter each cH band (coarsest first, matching the notch operators).
     deltas = []
-    for ch, bm_cat in zip(reversed(chs), consts["notch_cat"]):
-        ch_f = _filter_level(
+    notch_sel = consts.get("notch_sel", (None,) * len(chs))
+    for ch, bm_cat, nsel in zip(reversed(chs), consts["notch_cat"],
+                                notch_sel):
+        deltas.append(_filter_level_delta(
             ch,
             is_cells,
             jnp.asarray(bm_cat),
             plan.cells.max_threshold,
             plan.no_cells.max_threshold,
-        )
-        deltas.append(ch_f - ch)
+            notch_sel=nsel,
+        ))
 
     # Delta synthesis, coarsest -> finest: by perfect reconstruction the
     # unfiltered pyramid reconstructs to xlog exactly, so only the
@@ -547,12 +624,23 @@ def destripe_batch(
     for i, (delta, syn_y, syn_x_lo) in enumerate(
         zip(deltas, consts["syn_y"], consts["syn_x_lo"])
     ):
-        if i == n_lvls - 1 and band is not None:
-            # finest level: fused Pallas synthesis + exp (+ output) epilogue
+        lvl = n_lvls - 1 - i  # analysis-level index of this synthesis step
+        bspec = bands.get(lvl)
+        if bspec is not None:
+            bops = consts[f"band{lvl}"]
+            h_out, w_out, _, _ = _band_level_geometry(plan, lvl)
             stacked_y = pallas_band.syn_y_pass(
-                corr, delta, consts["bk3_lo"], consts["bk3_hi"],
-                band["k3"]["stride"], band["k3"]["pad"], plan.height,
+                corr, delta, bops["bk3_lo"], bops["bk3_hi"],
+                bspec["k3"]["stride"], bspec["k3"]["pad"], h_out,
             )
+            if lvl > 0:
+                # deeper level: bare correction, feeds the next stacking
+                corr = pallas_band.syn_x_exp(
+                    stacked_y, None, bops["bk4"], bspec["k4"]["starts"],
+                    w_out,
+                )
+                continue
+            # finest level: fused exp (+ output) epilogue
             fuse_flat = (
                 flat is not None
                 and dark is not None
@@ -561,12 +649,12 @@ def destripe_batch(
             )
             if fuse_flat:
                 return pallas_band.syn_x_exp(
-                    stacked_y, x, consts["bk4"], band["k4"]["starts"],
+                    stacked_y, images, bops["bk4"], bspec["k4"]["starts"],
                     plan.width, flat=jnp.asarray(flat, jnp.float32),
                     dark=jnp.asarray(dark, jnp.float32),
                 )
             out = pallas_band.syn_x_exp(
-                stacked_y, x, consts["bk4"], band["k4"]["starts"],
+                stacked_y, images, bops["bk4"], bspec["k4"]["starts"],
                 plan.width, wrap=wrap,
             )
             return out if wrap else epilogue(out)

@@ -132,6 +132,16 @@ def split_bf16_np(a: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return hi, lo
 
 
+def _load_f32(x):
+    """In-kernel conversion to float32. Mosaic has no unsigned->float cast,
+    so uint16 goes via an int16 bitcast, sign-extending int32 upcast, and a
+    0xFFFF mask (exact for all 16-bit values)."""
+    if x.dtype == jnp.uint16:
+        i = jax.lax.bitcast_convert_type(x, jnp.int16).astype(jnp.int32)
+        return (i & 0xFFFF).astype(jnp.float32)
+    return x.astype(jnp.float32)
+
+
 def _dot3(xh, xl, bh, bl, dims):
     """f32 accumulation over three bf16 dots == lax.Precision.HIGH."""
 
@@ -155,14 +165,16 @@ def an_x_lowpass_log1p(
     starts: Tuple[int, ...],
     out_w: int,
     rows_tile: int = 320,
+    log1p: bool = True,
     interpret: bool = False,
 ) -> jax.Array:
     """``log(1.0 + x) @ A_x_lo^T`` — the finest-level analysis x-pass with
     the log-space transform fused (reference filtering.py:175-176). The
     contraction is over lanes; window starts are 128-aligned so the in-VMEM
     slices are free. ``blocks``: (hi, lo) bf16 windows from
-    :func:`split_bf16_np`, shaped (nc, w_win, r_out).
-    Returns (B, H, out_w) float32."""
+    :func:`split_bf16_np`, shaped (nc, w_win, r_out). ``log1p=False`` skips
+    the log transform (deeper analysis levels consume cA already in log
+    space). Returns (B, H, out_w) float32."""
     B, H, W = x.shape
     bh, bl = blocks
     nc, w_win, r_out = bh.shape
@@ -178,11 +190,12 @@ def an_x_lowpass_log1p(
     )
 
     def kernel(bh_ref, bl_ref, x_ref, o_ref):
-        xt = x_ref[0].astype(jnp.float32)
+        xt = _load_f32(x_ref[0])
         if mask_lanes:
             lane = jax.lax.broadcasted_iota(jnp.int32, xt.shape, 1)
             xt = jnp.where(lane < W, xt, 0.0)
-        xt = jnp.log(1.0 + xt)
+        if log1p:
+            xt = jnp.log(1.0 + xt)
         xh, xl = _split_bf16(xt)
         for c in range(nc):
             s = starts[c]
@@ -358,7 +371,7 @@ def syn_y_pass(
 
 def syn_x_exp(
     stacked: jax.Array,  # (B, H, L) f32 — y-synthesized correction
-    images: jax.Array,  # (B, H, W) original planes (for the xlog residual)
+    images: Optional[jax.Array],  # (B, H, W) original planes, or None
     blocks,  # host-split (hi, lo) bf16 (nc, w_win, r_out), lane contraction
     starts: Tuple[int, ...],
     out_w: int,
@@ -368,25 +381,30 @@ def syn_x_exp(
     rows_tile: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
-    """Final synthesis x-pass fused with the filter epilogue.
+    """Synthesis x-pass, optionally fused with the filter epilogue.
 
-    Computes ``corr = stacked @ S_x_lo^T`` blockwise and returns
-    ``exp(log(1.0 + images) + corr) + 1.0`` (reference filtering.py:222's
-    exact ``exp(y) + 1.0`` quirk) — float32 output. With ``flat``/``dark``
-    it additionally applies the flat-field correction
+    Computes ``corr = stacked @ S_x_lo^T`` blockwise. With ``images`` it
+    returns ``exp(log(1.0 + images) + corr) + 1.0`` (reference
+    filtering.py:222's exact ``exp(y) + 1.0`` quirk) — float32 output. With
+    ``flat``/``dark`` it additionally applies the flat-field correction
     (darkfield subtract clamped at 0, flatfield divide, clip) -> uint16
     in-kernel (reference filtering.py:338-414); with ``wrap=True`` it
     instead applies the zarr-style modulo-2^16 cast -> uint16 (reference
     zarr_destriper.py:336 float-into-uint16-store parity). Either fused
-    epilogue saves one full-image HBM round trip.
+    epilogue saves one full-image HBM round trip. With ``images=None`` it
+    returns the bare correction (deeper synthesis levels, whose output
+    feeds the next finer level's stacking).
     """
     B, H, L = stacked.shape
     bh, bl = blocks
     nc, w_win, r_out = bh.shape
     L_pad = _rup(L, 128)
+    with_img = images is not None
     with_flat = flat is not None
     if with_flat and wrap:
         raise ValueError("flat-field and wrap epilogues are exclusive")
+    if (with_flat or wrap) and not with_img:
+        raise ValueError("epilogues need the original images")
     if rows_tile is None:
         # The flat/dark VMEM-resident blocks roughly double the per-program
         # footprint; 320 rows overflows the 16 MB scoped-vmem stack there
@@ -397,8 +415,10 @@ def syn_x_exp(
     def kernel(*refs):
         if with_flat:
             bh_ref, bl_ref, st_ref, img_ref, f_ref, d_ref, o_ref = refs
-        else:
+        elif with_img:
             bh_ref, bl_ref, st_ref, img_ref, o_ref = refs
+        else:
+            bh_ref, bl_ref, st_ref, o_ref = refs
         xt = st_ref[0]
         lane = jax.lax.broadcasted_iota(jnp.int32, xt.shape, 1)
         xt = jnp.where(lane < L, xt, 0.0)  # lane padding garbage
@@ -409,9 +429,10 @@ def syn_x_exp(
                 xh[:, s : s + w_win], xl[:, s : s + w_win],
                 bh_ref[c], bl_ref[c], ((1,), (0,)),
             )  # (rows_tile, r_out)
-            img = img_ref[0, :, c * r_out : (c + 1) * r_out].astype(
-                jnp.float32
-            )
+            if not with_img:
+                o_ref[0, :, c * r_out : (c + 1) * r_out] = corr
+                continue
+            img = _load_f32(img_ref[0, :, c * r_out : (c + 1) * r_out])
             y = jnp.exp(jnp.log(1.0 + img) + corr) + 1.0
             if with_flat:
                 # exact ops/flatfield.flatfield_correction semantics
@@ -430,7 +451,8 @@ def syn_x_exp(
                 )
             o_ref[0, :, c * r_out : (c + 1) * r_out] = y
 
-    ins = [bh, bl, stacked, images] + ([flat, dark] if with_flat else [])
+    ins = ([bh, bl, stacked] + ([images] if with_img else [])
+           + ([flat, dark] if with_flat else []))
     # Grid order (n_rt, B): the batch axis iterates FASTEST, so the
     # flat/dark blocks (whose index map ignores b) are fetched once per row
     # tile instead of once per program — without this they dominate the
@@ -440,9 +462,12 @@ def syn_x_exp(
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec((1, rows_tile, L_pad), lambda t, b: (b, t, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, rows_tile, nc * r_out), lambda t, b: (b, t, 0),
-                     memory_space=pltpu.VMEM),
     ]
+    if with_img:
+        in_specs += [
+            pl.BlockSpec((1, rows_tile, nc * r_out), lambda t, b: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     if with_flat:
         in_specs += [
             pl.BlockSpec((rows_tile, nc * r_out), lambda t, b: (t, 0),

@@ -149,11 +149,15 @@ def row_median_batch(x: jax.Array, interpret: bool = False) -> jax.Array:
 
 
 def row_median_masked(x: jax.Array, thr: jax.Array,
-                      interpret: bool = False) -> jax.Array:
+                      interpret: bool = False,
+                      raw: bool = False) -> jax.Array:
     """Per-row median of ``where(|x| > thr, 0, x)`` for a (B, rows, n) batch
     with per-plane thresholds ``thr`` (B,) — the inpainting background median
     with the masking fused in-kernel, so the background array never hits
-    HBM. Returns (B, rows, 1)."""
+    HBM. Returns (B, rows, 1); with ``raw=True`` the kernel's padded
+    (B, R>=rows, 128) output (each median broadcast over 128 lanes) is
+    returned unsliced so downstream Pallas consumers can block it without
+    an XLA relayout."""
     B, rows, n = x.shape
     rows_per = min(_ROWS, -(-rows // 8) * 8)
     n_row_blocks = -(-rows // rows_per)
@@ -176,4 +180,6 @@ def row_median_masked(x: jax.Array, thr: jax.Array,
         ),
         interpret=interpret,
     )(thr.reshape(B, 1).astype(jnp.float32), x.astype(jnp.float32))
+    if raw:
+        return out
     return out[:, :rows, 0:1]

@@ -1,0 +1,133 @@
+"""
+Pallas TPU kernel: fused per-level notch filtering -> synthesis delta.
+
+Replaces the XLA tail of the per-level filter chain (reference
+filtering.py:195-217 — mask, row-median inpaint, packed-FFT notch multiply,
+foreground/background recombine) with ONE kernel that emits the synthesis
+delta ``ch_filtered - ch`` directly:
+
+  stripes   = sqrt(ch^2) > thr[b]          (the reference's rounded compare)
+  inpainted = where(stripes, row_med, ch)
+  filtered  = inpainted @ notch_op[sel[b]]
+  delta     = where(stripes, 0, filtered - ch)
+
+Two structural wins over the XLA formulation (both verified on-trace):
+
+- The cells/no-cells notch operator is chosen PER PLANE by a
+  scalar-prefetch block index, so each plane multiplies only its own
+  operator — half the MXU FLOPs of the dense path, which must compute both
+  bands and select afterwards (XLA cannot gather a per-plane operator
+  without materializing B copies).
+- The mask/inpaint/recombine/subtract element-wise chain runs in VMEM, so
+  neither the double-wide ``both`` product nor the intermediate filtered
+  band ever hits HBM.
+
+Numerics: the matmul uses the same host-split bf16 hi/lo 3-dot accumulation
+as ops/pallas_band (== lax.Precision.HIGH); the element-wise chain is
+bit-identical to the XLA path (``where`` with the same predicate). The
+destripe golden gate (60 dB, measured 86-103 dB) covers it end to end.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_band import _dot3, _split_bf16, split_bf16_np
+
+__all__ = ["available", "stacked_notch_operators", "notch_delta"]
+
+
+def available() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def stacked_notch_operators(
+    bc: np.ndarray, bn: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Stack the cells/no-cells notch operators (w, w) into a lane-padded
+    (2, wp, wp) pair of bf16 hi/lo arrays, transposed for ``x @ op`` (the
+    dense path's ``matmul(inpainted, bc.T)`` orientation). Index 0 = cells,
+    1 = no-cells; zero padding keeps garbage lanes out of the contraction.
+    """
+    w = bc.shape[0]
+    wp = _cdiv(w, 128) * 128
+    st = np.zeros((2, wp, wp), dtype=np.float32)
+    st[0, :w, :w] = bc.T
+    st[1, :w, :w] = bn.T
+    return split_bf16_np(st)
+
+
+def notch_delta(
+    ch: jax.Array,  # (B, h, w) f32 detail band
+    med_raw: jax.Array,  # (B, R, 128) f32 — row_median_masked raw output
+    thr: jax.Array,  # (B,) f32 per-plane stripe threshold
+    sel_idx: jax.Array,  # (B,) int32: 0 = cells operator, 1 = no-cells
+    op_blocks: Tuple[jax.Array, jax.Array],  # (hi, lo) bf16 (2, wp, wp)
+    rows_tile: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused mask -> inpaint -> per-plane notch matmul -> delta. Returns
+    (B, h, w) float32, the per-level correction ``ch_filtered - ch``."""
+    B, h, w = ch.shape
+    oph, opl = op_blocks
+    wp = oph.shape[-1]
+    n_rt = _cdiv(h, rows_tile)
+    if med_raw.shape[1] < n_rt * rows_tile and med_raw.shape[1] < h:
+        raise ValueError("median array shorter than the band")
+
+    def kernel(sel_ref, thr_ref, oph_ref, opl_ref, ch_ref, med_ref, o_ref):
+        b = pl.program_id(0)
+        t = thr_ref[b]
+        x = ch_ref[0]  # (rows_tile, wp)
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        x = jnp.where(lane < w, x, 0.0)  # zero block-padding garbage
+        # sqrt(x*x), not |x|: the reference compares the rounded
+        # sqrt-of-square (filtering.py:188,195)
+        stripes = jnp.sqrt(x * x) > t
+        med = med_ref[0][:, 0:1]
+        inpainted = jnp.where(stripes, med, x)
+        ih, il = _split_bf16(inpainted)
+        filtered = _dot3(ih, il, oph_ref[0], opl_ref[0], ((1,), (0,)))
+        o_ref[0] = jnp.where(stripes, 0.0, filtered - x)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        # batch outermost: the operator block index changes only when the
+        # plane (and its classification) changes, so the 2-4 MB operator
+        # DMA amortizes over all row tiles of a plane
+        grid=(B, n_rt),
+        in_specs=[
+            pl.BlockSpec((1, wp, wp),
+                         lambda b, t, sel_ref, thr_ref: (sel_ref[b], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wp, wp),
+                         lambda b, t, sel_ref, thr_ref: (sel_ref[b], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows_tile, wp),
+                         lambda b, t, sel_ref, thr_ref: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows_tile, 128),
+                         lambda b, t, sel_ref, thr_ref: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows_tile, wp),
+                               lambda b, t, sel_ref, thr_ref: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, h, w), jnp.float32),
+        interpret=interpret,
+    )(sel_idx.astype(jnp.int32), thr.astype(jnp.float32),
+      oph, opl, ch, med_raw)

@@ -37,7 +37,9 @@ def main():
 
     H, W = 1600, 2000
     B = int(__import__("os").environ.get("BENCH_BATCH", "64"))
-    iters = int(__import__("os").environ.get("BENCH_ITERS", "6"))
+    # enough chained iterations that the single dispatch RTT (~35 ms over
+    # the dev tunnel) amortizes below ~2% of the measurement
+    iters = int(__import__("os").environ.get("BENCH_ITERS", "24"))
 
     plan = build_plan(
         H, W,

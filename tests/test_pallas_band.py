@@ -164,6 +164,70 @@ def test_syn_x_exp_matches_dense(plan, spec, ops):
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-2)
 
 
+def test_syn_x_plain_matches_dense(plan, spec, ops):
+    """images=None returns the bare correction (deeper-level synthesis)."""
+    L_h, L_w = plan.ladder[-1]
+    rng = np.random.default_rng(8)
+    stacked = (rng.normal(size=(2, H, L_w)) * 0.01).astype(np.float32)
+    Sx = wv.synthesis_operator(L_w, "db3")[:W, :L_w]
+    want = np.einsum("bhw,jw->bhj", stacked, Sx)
+    got = pb.syn_x_exp(
+        jnp.asarray(stacked), None, ops["bk4"],
+        spec["k4"]["starts"], W, interpret=True,
+    )
+    assert got.shape == (2, H, W) and got.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=1e-5)
+
+
+def test_level1_operators_and_chain():
+    """Level-1 banded analysis (no log1p) matches the dense operators."""
+    from aind_smartspim_destripe_tpu.ops.filter import _band_level_geometry
+
+    cfg = FilterConfig(wavelet="db3", level=2, sigma=64, max_threshold=3)
+    plan = build_plan(1280, 1280, cfg, cfg)  # level-1 input 643x643
+    spec1 = band_spec(plan, 1)
+    assert spec1 is not None
+    ops1 = band_operators(plan, 1)
+    h, w, lh, lw = _band_level_geometry(plan, 1)
+    rng = np.random.default_rng(9)
+    a = rng.normal(size=(2, h, w)).astype(np.float32)
+    Ax_lo = wv.analysis_operator(w, "db3")[:lw]
+    Ay = wv.analysis_operator(h, "db3")
+    lox = a @ Ax_lo.T
+    want_a = np.einsum("ih,bhw->biw", Ay[:lh], lox)
+    want_ch = np.einsum("ih,bhw->biw", Ay[lh:], lox)
+    lox_k = pb.an_x_lowpass_log1p(
+        jnp.asarray(a), ops1["bk1"], spec1["k1"]["starts"], lw,
+        log1p=False, interpret=True,
+    )
+    got_a, got_ch = pb.an_y_pass(
+        lox_k, ops1["bk2"], spec1["k2"]["stride"], spec1["k2"]["pad"],
+        lh, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got_a), want_a, rtol=3e-5,
+                               atol=6e-4)
+    np.testing.assert_allclose(np.asarray(got_ch), want_ch, rtol=3e-5,
+                               atol=6e-4)
+
+    # level-1 synthesis: K3 then plain K4 reconstructs S_y/S_x exactly
+    corr = rng.normal(size=(2, lh, lw)).astype(np.float32)
+    delta = rng.normal(size=(2, lh, lw)).astype(np.float32)
+    Sy = wv.synthesis_operator(lh, "db3")[:h]
+    Sx = wv.synthesis_operator(lw, "db3")[:w, :lw]
+    want = np.einsum(
+        "ih,bhw->biw", Sy, np.concatenate([corr, delta], axis=1)
+    ) @ Sx.T
+    st = pb.syn_y_pass(
+        jnp.asarray(corr), jnp.asarray(delta), ops1["bk3_lo"],
+        ops1["bk3_hi"], spec1["k3"]["stride"], spec1["k3"]["pad"], h,
+        interpret=True,
+    )
+    got = pb.syn_x_exp(
+        st, None, ops1["bk4"], spec1["k4"]["starts"], w, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=2e-3)
+
+
 def test_composed_analysis_chain(plan, spec, ops):
     """K1 -> K2 equals the dense two-pass analysis of destripe_batch."""
     L_h, L_w = plan.ladder[-1]
