@@ -346,6 +346,50 @@ def _classifier_cut(
     return float(vs[first])
 
 
+@lru_cache(maxsize=8)
+def _classifier_cut_f32(
+    center: float, crossover: float, threshold_mask: float
+) -> Optional[float]:
+    """Smallest float32 ``b`` such that ``float16(b)`` crosses the
+    classifier breakpoint — i.e. ``f16(x) >= cut  <=>  x >= b`` for every
+    f32 (or integer) x. Lets kernels evaluate the exact float16 classifier
+    as one f32 compare (f32->f16 rounding is monotone). None when the f16
+    chain itself is not monotone (then keep the sigmoid formulation)."""
+    cut = _classifier_cut(center, crossover, threshold_mask)
+    if cut is None:
+        return None
+    c16 = np.float16(cut)
+    lo = np.float32(np.nextafter(c16, -np.inf, dtype=np.float16))
+    hi = np.float32(c16)
+    # bisect f32 bit patterns: predicate p(x) = f16(x) >= cut is monotone
+    lo_b = lo.view(np.uint32)
+    hi_b = hi.view(np.uint32)
+    while hi_b - lo_b > 1:
+        mid_b = np.uint32((int(lo_b) + int(hi_b)) // 2)
+        mid = mid_b.view(np.float32)
+        if np.float16(mid) >= c16:
+            hi_b = mid_b
+        else:
+            lo_b = mid_b
+    return float(np.uint32(hi_b).view(np.float32))
+
+
+def classify_from_sums(
+    fg_cnt: jax.Array,
+    bg_cnt: jax.Array,
+    fg_sum: jax.Array,
+    bg_sum: jax.Array,
+    microscope_high_int: float,
+) -> jax.Array:
+    """Final classifier decision from the four per-plane reductions (all
+    (B,) f32) — the tail of :func:`classify_planes`, split out so kernels
+    that already stream the input (pallas_band.an_x_lowpass_log1p stats)
+    can emit the partial sums instead of XLA re-reading the batch."""
+    fg_mean = jnp.where(fg_cnt > 0, fg_sum / jnp.maximum(fg_cnt, 1.0), 0.0)
+    bg_mean = jnp.where(bg_cnt > 0, bg_sum / jnp.maximum(bg_cnt, 1.0), 0.0)
+    return (fg_mean > bg_mean) & (fg_mean > microscope_high_int)
+
+
 def classify_planes(
     images: jax.Array,
     microscope_high_int: float,
@@ -475,6 +519,7 @@ def _filter_level_delta(
     thr_cells: float,
     thr_no_cells: float,
     notch_sel=None,  # stacked (hi, lo) bf16 operators, or None
+    abs_range=None,  # optional per-plane (min|ch|, max|ch|) for Otsu
 ) -> jax.Array:
     """Per-level synthesis delta ``filter(ch) - ch``. With ``notch_sel``
     (TPU) the whole mask -> inpaint -> per-plane notch -> delta tail runs in
@@ -492,7 +537,9 @@ def _filter_level_delta(
         from .pallas_median import row_median_masked
 
         max_thr = jnp.where(is_cells, thr_cells, thr_no_cells)
-        otsu_sqrt = jnp.sqrt(threshold_otsu_batch(ch, square=True))
+        otsu_sqrt = jnp.sqrt(
+            threshold_otsu_batch(ch, square=True, abs_range=abs_range)
+        )
         threshold = jnp.minimum(max_thr, otsu_sqrt)
         med_raw = row_median_masked(ch, threshold, raw=True)
         sel_idx = jnp.where(is_cells, 0, 1)
@@ -540,7 +587,6 @@ def destripe_batch(
         return y
 
     x = images.astype(jnp.float32)
-    is_cells = classify_planes(x, microscope_high_int)
 
     xlog = jnp.log(1.0 + x)
 
@@ -561,6 +607,20 @@ def destripe_batch(
         if f"band{lvl}" in consts
     }
 
+    # Classifier: when level 0 runs banded and the float16 sigmoid chain
+    # reduces to one compare (it does for the production parameters), K1
+    # emits the four partial reductions while streaming the input — the
+    # classifier then costs no extra pass over the batch.
+    cut32 = (
+        _classifier_cut_f32(400.0, 20.0, 0.3)
+        if bands.get(0) is not None
+        else None
+    )
+    is_cells = (
+        None if cut32 is not None
+        else classify_planes(x, microscope_high_int)
+    )
+
     # Analysis, finest -> coarsest. Only cA (to recurse) and cH (to filter)
     # are consumed, so the x-pass applies the lowpass half only — and it
     # runs FIRST: the x-pass halves the width while the y-pass slightly
@@ -568,6 +628,7 @@ def destripe_batch(
     # analysis FLOPs ((w+h)/(2h+w) of the y-first order; trace-verified
     # ~5 ms/step at B=64 production geometry).
     chs = []
+    ch_ranges: dict = {}
     a = xlog
     for lvl, (an_y, an_x_lo) in enumerate(
         zip(consts["an_y"], consts["an_x_lo"])
@@ -581,13 +642,32 @@ def destripe_batch(
             # the f32 copy of the whole batch (the classifier's reduce
             # fusions convert on the fly too). Deeper levels consume the
             # previous cA, already in log space.
-            lox_w = pallas_band.an_x_lowpass_log1p(
-                images if lvl == 0 else a, bops["bk1"],
-                bspec["k1"]["starts"], L_w, log1p=(lvl == 0),
-            )
-            a, ch = pallas_band.an_y_pass(
+            if lvl == 0 and cut32 is not None:
+                lox_w, cst = pallas_band.an_x_lowpass_log1p(
+                    images, bops["bk1"], bspec["k1"]["starts"], L_w,
+                    cls_cut=cut32,
+                )
+                is_cells = classify_from_sums(
+                    jnp.sum(cst[:, :, 0, 0], axis=1),
+                    jnp.sum(cst[:, :, 0, 128], axis=1),
+                    jnp.sum(cst[:, :, 0, 256], axis=1),
+                    jnp.sum(cst[:, :, 0, 384], axis=1),
+                    microscope_high_int,
+                )
+            else:
+                lox_w = pallas_band.an_x_lowpass_log1p(
+                    images if lvl == 0 else a, bops["bk1"],
+                    bspec["k1"]["starts"], L_w, log1p=(lvl == 0),
+                )
+            a, ch, mm = pallas_band.an_y_pass(
                 lox_w, bops["bk2"], bspec["k2"]["stride"],
-                bspec["k2"]["pad"], L_h,
+                bspec["k2"]["pad"], L_h, stats=True,
+            )
+            # per-plane |cH| extrema, emitted while the band was in
+            # registers — feeds the Otsu bin range without a re-read
+            ch_ranges[lvl] = (
+                jnp.min(mm[:, :, 0, 0], axis=1),
+                jnp.max(mm[:, :, 0, 128], axis=1),
             )
             chs.append(ch)
             continue
@@ -604,8 +684,10 @@ def destripe_batch(
     # Filter each cH band (coarsest first, matching the notch operators).
     deltas = []
     notch_sel = consts.get("notch_sel", (None,) * len(chs))
-    for ch, bm_cat, nsel in zip(reversed(chs), consts["notch_cat"],
-                                notch_sel):
+    n_chs = len(chs)
+    for j, (ch, bm_cat, nsel) in enumerate(
+        zip(reversed(chs), consts["notch_cat"], notch_sel)
+    ):
         deltas.append(_filter_level_delta(
             ch,
             is_cells,
@@ -613,6 +695,7 @@ def destripe_batch(
             plan.cells.max_threshold,
             plan.no_cells.max_threshold,
             notch_sel=nsel,
+            abs_range=ch_ranges.get(n_chs - 1 - j),
         ))
 
     # Delta synthesis, coarsest -> finest: by perfect reconstruction the

@@ -62,6 +62,7 @@ def threshold_otsu(x: jnp.ndarray, nbins: int = 256) -> jnp.ndarray:
 def threshold_otsu_batch(
     x: jnp.ndarray, nbins: int = 256, square: bool = False,
     pallas: "bool | None" = None,
+    abs_range: "tuple | None" = None,
 ) -> jnp.ndarray:
     """Per-plane Otsu thresholds for a (B, H, W) batch.
 
@@ -76,6 +77,10 @@ def threshold_otsu_batch(
     ``pallas``: force (True) or forbid (False) the Pallas kernel; None =
     auto. Callers gate tiny inputs to False — below ~32k px/plane the
     pallas_call overhead exceeds the whole XLA reduction.
+    ``abs_range``: optional precomputed per-plane ``(min|x|, max|x|)``
+    (each (B,)) — e.g. emitted by the analysis kernel while the band was in
+    registers (pallas_band.an_y_pass stats) — saving the full-array reduce.
+    Only consulted on the Pallas path.
     """
     use_pallas = (
         nbins == 256
@@ -93,10 +98,17 @@ def threshold_otsu_batch(
 
     xf = x.astype(jnp.float32)
     if square:
-        absx = jnp.abs(xf)
-        lo_a = jnp.min(absx, axis=(1, 2))
-        hi_a = jnp.max(absx, axis=(1, 2))
+        if abs_range is not None:
+            lo_a, hi_a = abs_range
+            lo_a = lo_a.astype(jnp.float32)
+            hi_a = hi_a.astype(jnp.float32)
+        else:
+            absx = jnp.abs(xf)
+            lo_a = jnp.min(absx, axis=(1, 2))
+            hi_a = jnp.max(absx, axis=(1, 2))
         lo, hi = lo_a * lo_a, hi_a * hi_a
+    elif abs_range is not None:
+        raise ValueError("abs_range implies square=True semantics")
     else:
         lo = jnp.min(xf, axis=(1, 2))
         hi = jnp.max(xf, axis=(1, 2))

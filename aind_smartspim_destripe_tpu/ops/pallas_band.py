@@ -166,34 +166,70 @@ def an_x_lowpass_log1p(
     out_w: int,
     rows_tile: int = 320,
     log1p: bool = True,
+    cls_cut: Optional[float] = None,
     interpret: bool = False,
-) -> jax.Array:
+):
     """``log(1.0 + x) @ A_x_lo^T`` — the finest-level analysis x-pass with
     the log-space transform fused (reference filtering.py:175-176). The
     contraction is over lanes; window starts are 128-aligned so the in-VMEM
     slices are free. ``blocks``: (hi, lo) bf16 windows from
     :func:`split_bf16_np`, shaped (nc, w_win, r_out). ``log1p=False`` skips
     the log transform (deeper analysis levels consume cA already in log
-    space). Returns (B, H, out_w) float32."""
+    space). Returns (B, H, out_w) float32.
+
+    With ``cls_cut`` (the exact f32 classifier breakpoint,
+    filter._classifier_cut_f32) a second array (B, n_row_tiles, 8, 512) is
+    returned carrying the per-tile classifier partial reductions in lane
+    groups of 128: [fg_cnt | bg_cnt | fg_sum | bg_sum] over the RAW values
+    — so the per-plane cells classifier costs no extra read of the batch.
+    Sum over axis 1 at [:, :, 0, lane] for lane in 0/128/256/384 (the
+    sublane dim is store-alignment padding)."""
     B, H, W = x.shape
     bh, bl = blocks
     nc, w_win, r_out = bh.shape
     w_pad = _rup(W, 128)
     n_rt = _cdiv(H, rows_tile)
+    stats = cls_cut is not None
     # Boundary-block lane padding is undefined. Integer garbage stays finite
     # (0 * finite = 0 through the zero operator tail) but float garbage can
     # be NaN/Inf, which would poison the dot — mask it. Ragged ROWS need no
-    # mask: the contraction is over lanes, so garbage rows stay in their own
-    # output rows and the partial store discards them.
+    # mask for the matmul (the contraction is over lanes, so garbage rows
+    # stay in their own output rows and the partial store discards them) —
+    # but the stats reductions must exclude both padding axes.
     mask_lanes = W != w_pad and not np.issubdtype(
         np.dtype(x.dtype), np.integer
     )
 
-    def kernel(bh_ref, bl_ref, x_ref, o_ref):
+    def kernel(*refs):
+        if stats:
+            bh_ref, bl_ref, x_ref, o_ref, st_ref = refs
+            t_idx = pl.program_id(1)
+        else:
+            bh_ref, bl_ref, x_ref, o_ref = refs
         xt = _load_f32(x_ref[0])
+        lane = jax.lax.broadcasted_iota(jnp.int32, xt.shape, 1)
         if mask_lanes:
-            lane = jax.lax.broadcasted_iota(jnp.int32, xt.shape, 1)
             xt = jnp.where(lane < W, xt, 0.0)
+        if stats:
+            valid = lane < W
+            if H % rows_tile:
+                row = jax.lax.broadcasted_iota(jnp.int32, xt.shape, 0)
+                valid = valid & (t_idx * rows_tile + row < H)
+            m = (xt >= jnp.float32(cls_cut)) & valid
+            mb = (~m) & valid
+            fg_cnt = jnp.sum(m.astype(jnp.float32))
+            bg_cnt = jnp.sum(mb.astype(jnp.float32))
+            fg_sum = jnp.sum(jnp.where(m, xt, 0.0))
+            bg_sum = jnp.sum(jnp.where(mb, xt, 0.0))
+            # (8, 512) tile: sublane dim padded to 8 for the store rule
+            sl = jax.lax.broadcasted_iota(
+                jnp.int32, st_ref.shape[2:], 1
+            ) // 128
+            st_ref[0, 0] = jnp.where(
+                sl == 0, fg_cnt,
+                jnp.where(sl == 1, bg_cnt,
+                          jnp.where(sl == 2, fg_sum, bg_sum)),
+            )
         if log1p:
             xt = jnp.log(1.0 + xt)
         xh, xl = _split_bf16(xt)
@@ -204,7 +240,21 @@ def an_x_lowpass_log1p(
                 bh_ref[c], bl_ref[c], ((1,), (0,)),
             )
 
-    return pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, rows_tile, nc * r_out), lambda b, t: (b, t, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shapes = [jax.ShapeDtypeStruct((B, H, out_w), jnp.float32)]
+    if stats:
+        out_specs.append(
+            pl.BlockSpec((1, 1, 8, 512), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct((B, n_rt, 8, 512), jnp.float32)
+        )
+
+    res = pl.pallas_call(
         kernel,
         grid=(B, n_rt),
         in_specs=[
@@ -213,12 +263,11 @@ def an_x_lowpass_log1p(
             pl.BlockSpec((1, rows_tile, w_pad), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, rows_tile, nc * r_out),
-                               lambda b, t: (b, t, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, out_w), jnp.float32),
+        out_specs=tuple(out_specs) if stats else out_specs[0],
+        out_shape=tuple(out_shapes) if stats else out_shapes[0],
         interpret=interpret,
     )(bh, bl, x)
+    return res
 
 
 # ---------------------------------------------------------------------------
@@ -234,11 +283,20 @@ def an_y_pass(
     pad: int,
     out_h: int,
     col_tile: int = 256,
+    stats: bool = False,
     interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
+):
     """One analysis pass along axis -2: returns (lo, hi), each
     (B, out_h, W). Contraction is over sublanes; windows are dynamic
-    ``pl.ds`` slices with the shared closed-form start."""
+    ``pl.ds`` slices with the shared closed-form start.
+
+    With ``stats=True`` a third array (B, n_col_tiles, 8, 256) is returned:
+    lanes [0:128) hold the per-tile min of ``|hi|`` and [128:256) the max —
+    computed on the detail values while they are still in registers, so the
+    Otsu bin range (min/max of the absolute coefficients, ops/otsu.py)
+    never costs a full re-read of the band from HBM. Reduce over axis 1 at
+    [:, :, 0, 0] / [:, :, 0, 128] for the per-plane range (the sublane dim
+    is store-alignment padding)."""
     B, H, W = x.shape
     bh, bl = blocks
     nr, w_win, r2 = bh.shape
@@ -251,8 +309,15 @@ def an_y_pass(
     # final block use an exact-width store
     starts = window_starts(nr, stride, pad, smax)
 
-    def kernel(bh_ref, bl_ref, x_ref, lo_ref, hi_ref):
+    def kernel(*refs):
+        if stats:
+            bh_ref, bl_ref, x_ref, lo_ref, hi_ref, mm_ref = refs
+            c = pl.program_id(1)
+        else:
+            bh_ref, bl_ref, x_ref, lo_ref, hi_ref = refs
         xt = x_ref[0]
+        mn = jnp.float32(np.inf)
+        mx = jnp.float32(-np.inf)
         for r in range(nr):
             s = starts[r]
             xh, xl = _split_bf16(xt[s : s + w_win, :])
@@ -261,8 +326,44 @@ def an_y_pass(
             n = min(r_out, out_h - r * r_out)
             lo_ref[0, r * r_out : r * r_out + n, :] = out[:n]
             hi_ref[0, r * r_out : r * r_out + n, :] = out[r_out : r_out + n]
+            if stats:
+                # |cH| extrema while the tile is in registers. Ragged final
+                # col tile: lanes >= W carry garbage — exclude them.
+                a = jnp.abs(out[r_out : r_out + n])
+                lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+                valid = (c * col_tile + lane) < W
+                mn = jnp.minimum(
+                    mn, jnp.min(jnp.where(valid, a, jnp.float32(np.inf)))
+                )
+                mx = jnp.maximum(
+                    mx, jnp.max(jnp.where(valid, a, jnp.float32(-np.inf)))
+                )
+        if stats:
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, mm_ref.shape[2:], 1
+            )
+            mm_ref[0, 0] = jnp.where(lane < 128, mn, mx)
 
-    lo, hi = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, out_h, col_tile), lambda b, c: (b, 0, c),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, out_h, col_tile), lambda b, c: (b, 0, c),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, out_h, W), jnp.float32),
+        jax.ShapeDtypeStruct((B, out_h, W), jnp.float32),
+    ]
+    if stats:
+        out_specs.append(
+            pl.BlockSpec((1, 1, 8, 256), lambda b, c: (b, c, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct((B, n_ct, 8, 256), jnp.float32)
+        )
+
+    res = pl.pallas_call(
         kernel,
         grid=(B, n_ct),
         in_specs=[
@@ -271,19 +372,11 @@ def an_y_pass(
             pl.BlockSpec((1, H, col_tile), lambda b, c: (b, 0, c),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, out_h, col_tile), lambda b, c: (b, 0, c),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, out_h, col_tile), lambda b, c: (b, 0, c),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, out_h, W), jnp.float32),
-            jax.ShapeDtypeStruct((B, out_h, W), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
         interpret=interpret,
     )(bh, bl, x)
-    return lo, hi
+    return res
 
 
 # ---------------------------------------------------------------------------

@@ -122,6 +122,57 @@ def test_an_y_pass_matches_dense(plan, spec, ops):
     np.testing.assert_allclose(np.asarray(hi), want_hi, rtol=2e-5, atol=2e-4)
 
 
+def test_an_x_classifier_stats(plan, spec, ops):
+    """cls_cut emits exact classifier partial sums over the raw planes."""
+    from aind_smartspim_destripe_tpu.ops.filter import _classifier_cut_f32
+
+    L_h, L_w = plan.ladder[-1]
+    cut = _classifier_cut_f32(400.0, 20.0, 0.3)
+    assert cut is not None
+    rng = np.random.default_rng(10)
+    x = rng.integers(0, 3000, size=(2, H, W), dtype=np.uint16)
+    out, st = pb.an_x_lowpass_log1p(
+        jnp.asarray(x), ops["bk1"], spec["k1"]["starts"], L_w,
+        cls_cut=cut, interpret=True,
+    )
+    st = np.asarray(st)
+    m = x.astype(np.float16) >= np.float16(383.25)  # the exact f16 cut
+    xf = x.astype(np.float64)
+    np.testing.assert_allclose(
+        st[:, :, 0, 0].sum(1), m.sum(axis=(1, 2)), rtol=0)
+    np.testing.assert_allclose(
+        st[:, :, 0, 128].sum(1), (~m).sum(axis=(1, 2)), rtol=0)
+    np.testing.assert_allclose(
+        st[:, :, 0, 256].sum(1), np.where(m, xf, 0).sum(axis=(1, 2)),
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        st[:, :, 0, 384].sum(1), np.where(~m, xf, 0).sum(axis=(1, 2)),
+        rtol=1e-6)
+    # the band output is unchanged by the stats side channel
+    ref = pb.an_x_lowpass_log1p(
+        jnp.asarray(x), ops["bk1"], spec["k1"]["starts"], L_w,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_an_y_pass_stats(plan, spec, ops):
+    """stats=True emits exact per-plane |cH| extrema alongside the bands."""
+    L_h, L_w = plan.ladder[-1]
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(2, H, L_w)).astype(np.float32) * 3.0
+    lo, hi, mm = pb.an_y_pass(
+        jnp.asarray(x), ops["bk2"],
+        spec["k2"]["stride"], spec["k2"]["pad"], L_h, stats=True,
+        interpret=True,
+    )
+    got_min = np.min(np.asarray(mm)[:, :, 0, 0], axis=1)
+    got_max = np.max(np.asarray(mm)[:, :, 0, 128], axis=1)
+    a = np.abs(np.asarray(hi))
+    np.testing.assert_allclose(got_min, a.min(axis=(1, 2)), rtol=0)
+    np.testing.assert_allclose(got_max, a.max(axis=(1, 2)), rtol=0)
+
+
 def test_syn_y_pass_matches_dense(plan, spec, ops):
     L_h, L_w = plan.ladder[-1]
     rng = np.random.default_rng(3)
