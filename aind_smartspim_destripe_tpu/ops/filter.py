@@ -156,9 +156,7 @@ class DestripePlan:
         # ops/pallas_band.py), finest first — only where the kernels can
         # run; elsewhere (CPU tests, tiny geometries) the dense path reads
         # the keys' absence and the pytree stays lean.
-        if pallas_band.available() and os.environ.get(
-            "DESTRIPE_NO_PALLAS", "0"
-        ) != "1":
+        if pallas_band.available():
             for lvl in range(self.n_levels):
                 band = band_operators(self, lvl)
                 if band is None:
@@ -427,12 +425,9 @@ def _row_median(x: jax.Array, pallas: bool = True) -> jax.Array:
     VMEM pass instead of a bitonic sort. Elsewhere: a values-only lax.sort
     (still ~2x cheaper than jnp.median's stable (f32, s32) tuple sort). Both
     are exact."""
-    if (
-        pallas
-        and jax.default_backend() == "tpu"
-        and x.dtype == jnp.float32
-        and os.environ.get("DESTRIPE_NO_PALLAS", "0") != "1"
-    ):
+    from . import pallas_env
+
+    if pallas and pallas_env.enabled() and x.dtype == jnp.float32:
         from .pallas_median import row_median_batch
 
         return row_median_batch(x)
@@ -461,11 +456,12 @@ def _filter_level(
     w = ch.shape[-1]
     max_thr = jnp.where(is_cells, thr_cells, thr_no_cells)
 
+    from . import pallas_env
+
     use_pallas = (
-        jax.default_backend() == "tpu"
+        pallas_env.enabled()
         and ch.dtype == jnp.float32
         and ch.shape[-2] * ch.shape[-1] >= _PALLAS_MIN_PX
-        and os.environ.get("DESTRIPE_NO_PALLAS", "0") != "1"
     )
     if use_pallas:
         # Fused path: the Otsu histogram squares in-kernel and the
@@ -526,12 +522,13 @@ def _filter_level_delta(
     one Pallas program (ops/pallas_notch.py) at HALF the notch FLOPs — the
     operator is chosen per plane instead of computing both bands. Falls back
     to :func:`_filter_level` minus ch elsewhere (identical numerics)."""
+    from . import pallas_env
+
     use_fused = (
         notch_sel is not None
-        and jax.default_backend() == "tpu"
+        and pallas_env.enabled()
         and ch.dtype == jnp.float32
         and ch.shape[-2] * ch.shape[-1] >= _PALLAS_MIN_PX
-        and os.environ.get("DESTRIPE_NO_PALLAS", "0") != "1"
     )
     if use_fused:
         from .pallas_median import row_median_masked

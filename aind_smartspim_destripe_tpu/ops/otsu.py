@@ -82,11 +82,12 @@ def threshold_otsu_batch(
     registers (pallas_band.an_y_pass stats) — saving the full-array reduce.
     Only consulted on the Pallas path.
     """
+    from . import pallas_env
+
     use_pallas = (
         nbins == 256
         and x.ndim == 3
-        and jax.default_backend() == "tpu"
-        and os.environ.get("DESTRIPE_NO_PALLAS", "0") != "1"
+        and pallas_env.enabled()
         if pallas is None
         else pallas
     )

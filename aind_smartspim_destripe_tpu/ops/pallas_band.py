@@ -44,6 +44,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import pallas_env
+
 __all__ = [
     "available",
     "blocked_operator",
@@ -55,7 +57,9 @@ __all__ = [
 
 
 def available() -> bool:
-    return jax.default_backend() == "tpu"
+    """Can the kernels run here? True on TPU, or anywhere when
+    DESTRIPE_PALLAS_INTERPRET=1 forces interpreter mode (pallas_env)."""
+    return pallas_env.enabled()
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -265,7 +269,7 @@ def an_x_lowpass_log1p(
         ],
         out_specs=tuple(out_specs) if stats else out_specs[0],
         out_shape=tuple(out_shapes) if stats else out_shapes[0],
-        interpret=interpret,
+        interpret=pallas_env.interpret_default(interpret),
     )(bh, bl, x)
     return res
 
@@ -374,7 +378,7 @@ def an_y_pass(
         ],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
-        interpret=interpret,
+        interpret=pallas_env.interpret_default(interpret),
     )(bh, bl, x)
     return res
 
@@ -453,7 +457,7 @@ def syn_y_pass(
                                lambda b, c: (b, 0, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, out_h, W), jnp.float32),
-        interpret=interpret,
+        interpret=pallas_env.interpret_default(interpret),
     )(*ins)
 
 
@@ -579,5 +583,5 @@ def syn_x_exp(
         out_shape=jax.ShapeDtypeStruct(
             (B, H, out_w), jnp.uint16 if (with_flat or wrap) else jnp.float32
         ),
-        interpret=interpret,
+        interpret=pallas_env.interpret_default(interpret),
     )(*ins)

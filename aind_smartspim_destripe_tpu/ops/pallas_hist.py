@@ -27,13 +27,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import pallas_env
+
 __all__ = ["histogram256_batch", "available"]
 
 _ROWS = 8  # tile rows per grid step
 
 
 def available() -> bool:
-    return jax.default_backend() == "tpu"
+    return pallas_env.enabled()
 
 
 def _make_kernel(H: int, W: int, rows: int, square: bool):
@@ -118,6 +120,6 @@ def histogram256_batch(x: jax.Array, lo: jax.Array, span: jax.Array,
             (1, 16, 16), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, 16, 16), jnp.float32),
-        interpret=interpret,
+        interpret=pallas_env.interpret_default(interpret),
     )(stats, x)
     return out.reshape(B, 256)

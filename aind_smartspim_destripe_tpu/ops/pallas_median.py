@@ -28,13 +28,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import pallas_env
+
 __all__ = ["row_median_batch", "row_median_masked", "available"]
 
 _ROWS = 256  # rows per grid step (large: amortizes per-step overhead)
 
 
 def available() -> bool:
-    return jax.default_backend() == "tpu"
+    return pallas_env.enabled()
 
 
 def _sortable_keys(x):
@@ -142,7 +144,7 @@ def row_median_batch(x: jax.Array, interpret: bool = False) -> jax.Array:
         out_shape=jax.ShapeDtypeStruct(
             (nb, n_row_blocks * rows_per, 128), jnp.float32
         ),
-        interpret=interpret,
+        interpret=pallas_env.interpret_default(interpret),
     )(x3)
     meds = out[:, :rows, 0]
     return meds.reshape(lead + (1,)).astype(x.dtype)
@@ -178,7 +180,7 @@ def row_median_masked(x: jax.Array, thr: jax.Array,
         out_shape=jax.ShapeDtypeStruct(
             (B, n_row_blocks * rows_per, 128), jnp.float32
         ),
-        interpret=interpret,
+        interpret=pallas_env.interpret_default(interpret),
     )(thr.reshape(B, 1).astype(jnp.float32), x.astype(jnp.float32))
     if raw:
         return out

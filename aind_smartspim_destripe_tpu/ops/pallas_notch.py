@@ -38,13 +38,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import pallas_env
 from .pallas_band import _dot3, _split_bf16, split_bf16_np
 
 __all__ = ["available", "stacked_notch_operators", "notch_delta"]
 
 
 def available() -> bool:
-    return jax.default_backend() == "tpu"
+    return pallas_env.enabled()
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -128,6 +129,6 @@ def notch_delta(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, h, w), jnp.float32),
-        interpret=interpret,
+        interpret=pallas_env.interpret_default(interpret),
     )(sel_idx.astype(jnp.int32), thr.astype(jnp.float32),
       oph, opl, ch, med_raw)
