@@ -168,7 +168,7 @@ def an_x_lowpass_log1p(
     blocks: Tuple[jax.Array, jax.Array],  # host-split (hi, lo) bf16
     starts: Tuple[int, ...],
     out_w: int,
-    rows_tile: int = 320,
+    rows_tile: Optional[int] = None,
     log1p: bool = True,
     cls_cut: Optional[float] = None,
     interpret: bool = False,
@@ -192,6 +192,13 @@ def an_x_lowpass_log1p(
     bh, bl = blocks
     nc, w_win, r_out = bh.shape
     w_pad = _rup(W, 128)
+    if rows_tile is None:
+        # float32 input doubles the streamed block vs uint16; 320 rows
+        # overflows the 16 MB scoped-vmem stack there by ~0.2 MB (observed
+        # on the dual-band / f32-loader path), so shrink the tile.
+        rows_tile = (
+            320 if np.issubdtype(np.dtype(x.dtype), np.integer) else 256
+        )
     n_rt = _cdiv(H, rows_tile)
     stats = cls_cut is not None
     # Boundary-block lane padding is undefined. Integer garbage stays finite
