@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .filter import FilterConfig, build_plan, destripe_batch, device_constants
-from .otsu import threshold_otsu
+from .otsu import threshold_otsu_batch
 
 __all__ = ["dual_band_destripe_batch", "dual_band_filtering"]
 
@@ -74,7 +74,9 @@ def dual_band_destripe_batch(
     fore = destripe_batch(plan_fore, x, -jnp.inf, consts_fore)
     back = destripe_batch(plan_back, x, -jnp.inf, consts_back)
 
-    otsu_centers = jax.vmap(threshold_otsu)(x)[:, None, None]
+    # Pallas one-hot histogram on TPU (ops/pallas_hist.py); the vmapped
+    # scalar fallback's broadcast-compare loop costs ~10x at this size
+    otsu_centers = threshold_otsu_batch(x)[:, None, None]
     fixed = jnp.full_like(otsu_centers, threshold)
     centers = jnp.where(threshold < 0, otsu_centers, fixed)
 

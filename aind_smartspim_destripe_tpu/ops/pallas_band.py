@@ -510,10 +510,22 @@ def syn_x_exp(
     if (with_flat or wrap) and not with_img:
         raise ValueError("epilogues need the original images")
     if rows_tile is None:
-        # The flat/dark VMEM-resident blocks roughly double the per-program
-        # footprint; 320 rows overflows the 16 MB scoped-vmem stack there
-        # (observed: 23 MB), so halve the tile when the epilogue is fused.
-        rows_tile = 160 if with_flat else 320
+        if with_flat:
+            # flat/dark blocks roughly double the per-program footprint;
+            # 320 rows overflows the 16 MB scoped-vmem stack (observed 23M)
+            rows_tile = 160
+        else:
+            # Size the tile from the streamed bytes/row (double-buffered
+            # blocks), leaving ~4 MB of the 16 MB scoped-vmem stack for the
+            # resident operators (~3.1 MB) and register temps. An all-f32
+            # call at 320 rows measures 16.52 MB — just over the limit.
+            img_b = 0 if images is None else np.dtype(images.dtype).itemsize
+            out_b = 2 if wrap else 4
+            per_row = (L_pad * 4 + nc * r_out * (img_b + out_b)) * 2
+            rows_tile = next(
+                (rt for rt in (320, 256, 160, 128)
+                 if per_row * rt <= 12 * 2**20), 96
+            )
     n_rt = _cdiv(H, rows_tile)
 
     def kernel(*refs):
