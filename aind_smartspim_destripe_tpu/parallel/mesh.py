@@ -104,7 +104,12 @@ def sharded_destripe_step(
         if with_flatfield:
             out = flatfield_correction(filtered, flat, dark)
         else:
-            out = filtered.astype(jnp.uint16)
+            # zarr-store parity: the reference writes the unclipped float
+            # into a uint16 store, which wraps via numpy astype — match the
+            # streaming pipeline's explicit wrap, not XLA's saturating cast
+            out = jnp.mod(
+                jnp.trunc(filtered).astype(jnp.int32), 65536
+            ).astype(jnp.uint16)
         stats = jnp.stack([jnp.min(filtered), jnp.max(filtered)])
         return out, stats
 
