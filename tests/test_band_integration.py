@@ -98,6 +98,41 @@ def test_band_graph_flat_epilogue(plan, dense_out, monkeypatch):
     assert psnr >= 60.0, f"flat-epilogue PSNR {psnr:.1f} dB < 60"
 
 
+def test_band_graph_odd_geometry(monkeypatch):
+    """Ragged everything: odd height/width exercise every boundary-masking
+    path (lane/sublane padding, partial stores, clamped window starts)."""
+    import os
+
+    h, w = 801, 701  # odd, above the band gate (>=560 per side, >=400k px)
+    plan2 = build_plan(
+        h, w,
+        FilterConfig(wavelet="db3", level=None, sigma=64, max_threshold=3),
+        FilterConfig(wavelet="db3", level=None, sigma=128, max_threshold=12),
+    )
+    rng = np.random.default_rng(3)
+    x = np.clip(
+        400
+        + (rng.normal(size=(2, h, 1)) * 60) * np.ones((1, 1, w))
+        + rng.normal(size=(2, h, w)) * 10,
+        0, 65535,
+    ).astype(np.uint16)
+
+    os.environ["DESTRIPE_NO_PALLAS"] = "1"
+    try:
+        dense = np.asarray(
+            destripe_batch(plan2, x, 2500.0, plan2.constants())
+        )
+    finally:
+        del os.environ["DESTRIPE_NO_PALLAS"]
+
+    monkeypatch.setenv("DESTRIPE_PALLAS_INTERPRET", "1")
+    consts = plan2.constants()
+    assert "band0" in consts
+    got = np.asarray(destripe_batch(plan2, x, 2500.0, consts))
+    psnr = _psnr(got, dense)
+    assert psnr >= 60.0, f"odd-geometry PSNR {psnr:.1f} dB < 60"
+
+
 def test_band_graph_wrap_epilogue(plan, dense_out, monkeypatch):
     consts = _pallas_consts(plan, monkeypatch)
     got = np.asarray(
