@@ -181,3 +181,53 @@ def test_2d_input_rejected(tmp_path):
 
     with pytest.raises(ValueError):
         StreamingDestriper(Fake(), out, _plan())
+
+
+def test_pipeline_band_graph_interpret(tmp_path, monkeypatch):
+    """The streaming pipeline's device step (fused flat-field epilogue on
+    the banded Pallas path) through the interpreter — the CI twin of the
+    on-chip production runs. Compares against the dense-path pipeline
+    output at the 60 dB golden gate."""
+    h, w, z = 640, 704, 4  # band-eligible geometry, small z
+    plan = build_plan(
+        h, w,
+        FilterConfig(sigma=64, max_threshold=3),
+        FilterConfig(sigma=128, max_threshold=12),
+    )
+    rng = np.random.default_rng(1)
+    vol = np.clip(
+        400 + (rng.normal(size=(z, h, 1)) * 60) * np.ones((1, 1, w))
+        + rng.normal(size=(z, h, w)) * 10, 0, 65535
+    ).astype(np.uint16)
+    flat = np.full((h, w), 1.2, np.float32)
+    dark = np.full((h, w), 4.0, np.float32)
+
+    def run(sub):
+        inp = ZarrArray.create(
+            str(tmp_path / sub / "in"), (z, h, w), (z, h, w), np.uint16
+        )
+        inp[:] = vol
+        out = ZarrArray.create(
+            str(tmp_path / sub / "out"), (z, h, w), (z, h, w), np.uint16
+        )
+        StreamingDestriper(
+            inp, out, plan, flatfield=flat, darkfield=dark,
+            slab=z, device_batch=z, journal=False,
+        ).run()
+        return out[:]
+
+    import os
+
+    os.environ["DESTRIPE_NO_PALLAS"] = "1"
+    try:
+        want = run("dense")
+    finally:
+        del os.environ["DESTRIPE_NO_PALLAS"]
+
+    monkeypatch.setenv("DESTRIPE_PALLAS_INTERPRET", "1")
+    assert "band0" in plan.constants()
+    got = run("band")
+
+    mse = np.mean((got.astype(np.float64) - want.astype(np.float64)) ** 2)
+    psnr = np.inf if mse == 0 else 10 * np.log10(65535.0**2 / mse)
+    assert psnr >= 60.0, f"pipeline band-vs-dense PSNR {psnr:.1f} dB < 60"
