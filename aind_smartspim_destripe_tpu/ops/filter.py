@@ -8,18 +8,26 @@ Rebuilds reference filtering.py:139-224 (`log_space_fft_filtering`) and
   the static per-level shape ladder plus precomputed banded DWT and
   packed-FFT notch operators (see ops/wavelets.py, ops/fft_notch.py).
   Everything under jit has static shapes.
-- Planes are processed as a batch (B, H, W): DWT levels and the notch are
-  dense-operator MXU matmuls (analysis keeps only the lowpass x-half, and
-  synthesis propagates just the cH deltas onto log1p(x) via perfect
-  reconstruction — see DestripePlan.constants); Otsu histograms and
-  inpainting medians run in Pallas kernels (ops/pallas_hist.py,
-  ops/pallas_median.py) with bit-identical results; the rest is fused VPU
-  element-wise/reduce work.
+- Planes are processed as a batch (B, H, W). Analysis keeps only the
+  lowpass x-half (only cA/cH are ever consumed) and synthesis propagates
+  just the cH deltas onto log1p(x) via perfect reconstruction — see
+  DestripePlan.constants. On TPU the big levels run as blocked
+  banded-operator Pallas kernels (ops/pallas_band.py: raw-uint16 ingest,
+  fused log1p/exp/uint16 epilogues, classifier + Otsu-range statistics as
+  free side channels) and the per-level mask -> median-inpaint -> notch ->
+  delta tail as one Pallas program (ops/pallas_notch.py); Otsu histograms
+  and inpainting medians run in Pallas kernels (ops/pallas_hist.py,
+  ops/pallas_median.py) with bit-identical results. Off TPU (and for tiny
+  levels) everything falls back to dense-operator MXU/XLA formulations
+  with identical numerics — pallas_env.py arbitrates, and
+  DESTRIPE_PALLAS_INTERPRET=1 runs the production kernel graph in the
+  interpreter for CI.
 - The per-plane cells/no-cells branch (reference filtering.py:462-467) only
   changes two scalars (sigma, max_threshold) when both configs share a
-  wavelet/level — so instead of control flow we compute both notch products
-  in one fused matmul and select per plane, which XLA handles without
-  divergence.
+  wavelet/level — so instead of control flow the fused notch kernel picks
+  the operator per plane by scalar-prefetch indexing (half the FLOPs),
+  and the dense fallback computes both notch products in one matmul and
+  selects per plane.
 
 Replicated reference quirks (they define the golden output):
 - ``exp(y) + 1.0`` inverse instead of expm1 (filtering.py:222),
@@ -42,6 +50,7 @@ import numpy as np
 
 from . import fft_notch
 from . import pallas_band
+from . import pallas_env
 from . import pallas_notch
 from . import wavelets
 from .otsu import threshold_otsu_batch
@@ -425,8 +434,6 @@ def _row_median(x: jax.Array, pallas: bool = True) -> jax.Array:
     VMEM pass instead of a bitonic sort. Elsewhere: a values-only lax.sort
     (still ~2x cheaper than jnp.median's stable (f32, s32) tuple sort). Both
     are exact."""
-    from . import pallas_env
-
     if pallas and pallas_env.enabled() and x.dtype == jnp.float32:
         from .pallas_median import row_median_batch
 
@@ -455,8 +462,6 @@ def _filter_level(
 ) -> jax.Array:
     w = ch.shape[-1]
     max_thr = jnp.where(is_cells, thr_cells, thr_no_cells)
-
-    from . import pallas_env
 
     use_pallas = (
         pallas_env.enabled()
@@ -522,8 +527,6 @@ def _filter_level_delta(
     one Pallas program (ops/pallas_notch.py) at HALF the notch FLOPs — the
     operator is chosen per plane instead of computing both bands. Falls back
     to :func:`_filter_level` minus ch elsewhere (identical numerics)."""
-    from . import pallas_env
-
     use_fused = (
         notch_sel is not None
         and pallas_env.enabled()
