@@ -534,17 +534,17 @@ def _filter_level_delta(
         and ch.shape[-2] * ch.shape[-1] >= _PALLAS_MIN_PX
     )
     if use_fused:
-        from .pallas_median import row_median_masked
-
         max_thr = jnp.where(is_cells, thr_cells, thr_no_cells)
         otsu_sqrt = jnp.sqrt(
             threshold_otsu_batch(ch, square=True, abs_range=abs_range)
         )
         threshold = jnp.minimum(max_thr, otsu_sqrt)
-        med_raw = row_median_masked(ch, threshold, raw=True)
         sel_idx = jnp.where(is_cells, 0, 1)
+        # med_raw=None: the inpainting row medians are selected in-kernel
+        # on the rows already in VMEM — no separate median kernel, no
+        # extra full read of the band
         return pallas_notch.notch_delta(
-            ch, med_raw, threshold, sel_idx, notch_sel
+            ch, None, threshold, sel_idx, notch_sel
         )
     return _filter_level(ch, is_cells, bmat_cat, thr_cells, thr_no_cells) - ch
 

@@ -38,8 +38,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from typing import Optional
+
 from . import pallas_env
 from .pallas_band import _dot3, _split_bf16, split_bf16_np
+from .pallas_median import _keys_to_float, _kth_smallest, _sortable_keys
 
 __all__ = ["available", "stacked_notch_operators", "notch_delta"]
 
@@ -70,7 +73,7 @@ def stacked_notch_operators(
 
 def notch_delta(
     ch: jax.Array,  # (B, h, w) f32 detail band
-    med_raw: jax.Array,  # (B, R, 128) f32 — row_median_masked raw output
+    med_raw: Optional[jax.Array],  # (B, R, 128) f32 row medians, or None
     thr: jax.Array,  # (B,) f32 per-plane stripe threshold
     sel_idx: jax.Array,  # (B,) int32: 0 = cells operator, 1 = no-cells
     op_blocks: Tuple[jax.Array, jax.Array],  # (hi, lo) bf16 (2, wp, wp)
@@ -78,15 +81,29 @@ def notch_delta(
     interpret: bool = False,
 ) -> jax.Array:
     """Fused mask -> inpaint -> per-plane notch matmul -> delta. Returns
-    (B, h, w) float32, the per-level correction ``ch_filtered - ch``."""
+    (B, h, w) float32, the per-level correction ``ch_filtered - ch``.
+
+    ``med_raw=None`` computes the inpainting row medians IN-KERNEL (the
+    radix-bisection selection of ops/pallas_median.py over the masked rows
+    already resident in VMEM) — one less kernel launch and one less full
+    read of the band. Passing a precomputed ``row_median_masked(...,
+    raw=True)`` array instead reproduces the two-kernel split."""
     B, h, w = ch.shape
     oph, opl = op_blocks
     wp = oph.shape[-1]
     n_rt = _cdiv(h, rows_tile)
-    if med_raw.shape[1] < n_rt * rows_tile and med_raw.shape[1] < h:
+    with_med = med_raw is not None
+    if with_med and med_raw.shape[1] < n_rt * rows_tile and \
+            med_raw.shape[1] < h:
         raise ValueError("median array shorter than the band")
+    k2 = w // 2
+    k1 = (w - 1) // 2
 
-    def kernel(sel_ref, thr_ref, oph_ref, opl_ref, ch_ref, med_ref, o_ref):
+    def kernel(*refs):
+        if with_med:
+            sel_ref, thr_ref, oph_ref, opl_ref, ch_ref, med_ref, o_ref = refs
+        else:
+            sel_ref, thr_ref, oph_ref, opl_ref, ch_ref, o_ref = refs
         b = pl.program_id(0)
         t = thr_ref[b]
         x = ch_ref[0]  # (rows_tile, wp)
@@ -95,32 +112,65 @@ def notch_delta(
         # sqrt(x*x), not |x|: the reference compares the rounded
         # sqrt-of-square (filtering.py:188,195)
         stripes = jnp.sqrt(x * x) > t
-        med = med_ref[0][:, 0:1]
+        if with_med:
+            med = med_ref[0][:, 0:1]
+        else:
+            # inpainting median of the masked row, computed in-VMEM
+            # (reference filtering.py:199-204; numerics identical to
+            # ops/pallas_median._make_kernel(masked=True))
+            bg = jnp.where(stripes, 0.0, x)
+            key = _sortable_keys(bg)
+            key = jnp.where(lane < w, key, jnp.uint32(0xFFFFFFFF))
+            k_v1 = _kth_smallest(key, k1)
+            v1 = _keys_to_float(k_v1)
+            if k2 != k1:
+                cnt_le = jnp.sum((key <= k_v1).astype(jnp.int32), axis=1,
+                                 keepdims=True)
+                ikey = pltpu.bitcast(
+                    key ^ jnp.uint32(0x80000000), jnp.int32
+                )
+                nxt_i = jnp.min(
+                    jnp.where(key > k_v1, ikey, jnp.int32(0x7FFFFFFF)),
+                    axis=1, keepdims=True,
+                )
+                nxt = pltpu.bitcast(nxt_i, jnp.uint32) ^ jnp.uint32(
+                    0x80000000
+                )
+                k_v2 = jnp.where(cnt_le >= k2 + 1, k_v1, nxt)
+                med = (v1 + _keys_to_float(k_v2)) * 0.5
+            else:
+                med = v1
         inpainted = jnp.where(stripes, med, x)
         ih, il = _split_bf16(inpainted)
         filtered = _dot3(ih, il, oph_ref[0], opl_ref[0], ((1,), (0,)))
         o_ref[0] = jnp.where(stripes, 0.0, filtered - x)
 
+    in_specs = [
+        pl.BlockSpec((1, wp, wp),
+                     lambda b, t, sel_ref, thr_ref: (sel_ref[b], 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, wp, wp),
+                     lambda b, t, sel_ref, thr_ref: (sel_ref[b], 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, rows_tile, wp),
+                     lambda b, t, sel_ref, thr_ref: (b, t, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    ins = [oph, opl, ch]
+    if with_med:
+        in_specs.append(
+            pl.BlockSpec((1, rows_tile, 128),
+                         lambda b, t, sel_ref, thr_ref: (b, t, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        ins.append(med_raw)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         # batch outermost: the operator block index changes only when the
         # plane (and its classification) changes, so the 2-4 MB operator
         # DMA amortizes over all row tiles of a plane
         grid=(B, n_rt),
-        in_specs=[
-            pl.BlockSpec((1, wp, wp),
-                         lambda b, t, sel_ref, thr_ref: (sel_ref[b], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, wp, wp),
-                         lambda b, t, sel_ref, thr_ref: (sel_ref[b], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows_tile, wp),
-                         lambda b, t, sel_ref, thr_ref: (b, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows_tile, 128),
-                         lambda b, t, sel_ref, thr_ref: (b, t, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, rows_tile, wp),
                                lambda b, t, sel_ref, thr_ref: (b, t, 0),
                                memory_space=pltpu.VMEM),
@@ -130,5 +180,4 @@ def notch_delta(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, h, w), jnp.float32),
         interpret=pallas_env.interpret_default(interpret),
-    )(sel_idx.astype(jnp.int32), thr.astype(jnp.float32),
-      oph, opl, ch, med_raw)
+    )(sel_idx.astype(jnp.int32), thr.astype(jnp.float32), *ins)

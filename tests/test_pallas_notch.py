@@ -49,6 +49,29 @@ def test_stacked_operators_reconstruct(case):
     assert np.all(rec[:, w:, :] == 0) and np.all(rec[:, :, w:] == 0)
 
 
+def test_notch_delta_inkernel_median(case):
+    """med_raw=None computes the masked row medians in-kernel — results
+    must be IDENTICAL to passing the precomputed median array."""
+    ch, bc, bn, thr, sel = case
+    from aind_smartspim_destripe_tpu.ops.pallas_median import (
+        row_median_masked,
+    )
+
+    ops = pn.stacked_notch_operators(bc, bn)
+    med_raw = row_median_masked(
+        jnp.asarray(ch), jnp.asarray(thr), interpret=True, raw=True
+    )
+    with_med = np.asarray(pn.notch_delta(
+        jnp.asarray(ch), med_raw, jnp.asarray(thr), jnp.asarray(sel),
+        ops, interpret=True,
+    ))
+    inkernel = np.asarray(pn.notch_delta(
+        jnp.asarray(ch), None, jnp.asarray(thr), jnp.asarray(sel),
+        ops, interpret=True,
+    ))
+    np.testing.assert_array_equal(with_med, inkernel)
+
+
 def test_notch_delta_matches_dense(case):
     ch, bc, bn, thr, sel = case
     from aind_smartspim_destripe_tpu.ops.pallas_median import (
