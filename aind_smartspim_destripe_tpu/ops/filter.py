@@ -574,6 +574,29 @@ def destripe_batch(
     modulo-2^16 cast (reference zarr_destriper.py:336 parity)."""
     if flat is not None and wrap:
         raise ValueError("flat-field and wrap epilogues are exclusive")
+    if (flat is None) != (dark is None):
+        raise ValueError(
+            "destripe_batch: flat and dark must be provided together "
+            "(pass dark=jnp.zeros((1, 1)) for a zero darkfield)"
+        )
+    if flat is not None:
+        # Normalize both fields to the exact plane extent up front: the
+        # darkfield is cropped like the reference (filtering.py:377), then
+        # 2-D fields broadcast to (H, W) so broadcastable-but-not-exact
+        # inputs keep the fused Pallas epilogue; a shape that fits neither
+        # fails here with a clear error instead of deep in the epilogue.
+        hw = (plan.height, plan.width)
+        flat = jnp.asarray(flat, jnp.float32)
+        dark = jnp.asarray(dark, jnp.float32)[..., : plan.height, : plan.width]
+        if flat.ndim <= 2 and dark.ndim <= 2:
+            try:
+                flat = jnp.broadcast_to(flat, hw)
+                dark = jnp.broadcast_to(dark, hw)
+            except ValueError:
+                raise ValueError(
+                    f"flat {flat.shape} / dark {dark.shape} do not "
+                    f"broadcast to the plane extent {hw}"
+                )
 
     def epilogue(y):
         if flat is not None:
@@ -726,9 +749,8 @@ def destripe_batch(
             # finest level: fused exp (+ output) epilogue
             fuse_flat = (
                 flat is not None
-                and dark is not None
-                and getattr(flat, "shape", None) == (plan.height, plan.width)
-                and getattr(dark, "shape", None) == (plan.height, plan.width)
+                and flat.shape == (plan.height, plan.width)
+                and dark.shape == (plan.height, plan.width)
             )
             if fuse_flat:
                 return pallas_band.syn_x_exp(

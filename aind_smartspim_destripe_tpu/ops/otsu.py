@@ -84,13 +84,15 @@ def threshold_otsu_batch(
     """
     from . import pallas_env
 
-    use_pallas = (
-        nbins == 256
-        and x.ndim == 3
-        and pallas_env.enabled()
-        if pallas is None
-        else pallas
-    )
+    # a forced pallas=True still requires the kernel's validity envelope
+    # (256 bins, (B, H, W) rank) — the kernel has no other semantics
+    valid = nbins == 256 and x.ndim == 3
+    if pallas and not valid:
+        raise ValueError(
+            f"pallas=True requires nbins=256 and a 3-D batch, got "
+            f"nbins={nbins}, ndim={x.ndim}"
+        )
+    use_pallas = (valid and pallas_env.enabled()) if pallas is None else pallas
     if not use_pallas:
         xs = x * x if square else x
         return jax.vmap(lambda p: threshold_otsu(p, nbins))(xs)

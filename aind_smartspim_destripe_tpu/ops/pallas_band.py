@@ -3,10 +3,19 @@ Pallas TPU kernels: blocked banded-operator matmuls for the DWT hot passes.
 
 The dense per-geometry DWT operators (ops/wavelets.py) keep the MXU busy but
 multiply ~99.6% zeros: an analysis operator row has only ``flen`` nonzeros.
-Earlier attempts to exploit the band lost everything to data movement (XLA
-strided slices relayout whole arrays; a window-DMA Pallas kernel was bound by
-misaligned copies and an XLA-materialized symmetric extension — see
-ops/pallas_dwt.py). This module uses a layout that avoids both:
+Earlier attempts to exploit the band lost everything to data movement — both
+are recorded negative results, not viable alternatives:
+
+- XLA polyphase/strided-slice formulations relayout whole arrays (a bare
+  swapaxes of (64,1600,2000) costs ~51 ms on v5e; measured 107-216 ms per
+  pass vs ~42 ms dense);
+- a window-DMA Pallas kernel (double-buffered HBM->VMEM copies per sliding
+  window, deleted round 3; history: ``git log -- */ops/pallas_dwt.py``) was
+  bound by misaligned copies (window starts are not 8-row aligned) and an
+  XLA-materialized symmetric extension, measuring 43.8 ms vs 41.8 ms dense
+  for the rows pass.
+
+This module uses a layout that avoids both failure modes:
 
 - each grid step holds the FULL contraction axis of its tile in VMEM
   (always affordable: the longest axis is ~2048 lanes), and
@@ -313,6 +322,11 @@ def an_y_pass(
     nr, w_win, r2 = bh.shape
     r_out = r2 // 2
     n_ct = _cdiv(W, col_tile)
+    if w_win > H:
+        # mirror syn_y_pass: with the window taller than the input, the
+        # closed-form starts would clamp to a negative smax and the Python
+        # slice below would silently wrap from the end of the array
+        raise ValueError(f"window rows {w_win} > input rows {H}")
     smax = H - w_win
     # static per-block window starts (the same closed form as the builder);
     # static slices need no Mosaic alignment proofs, and unrolling the

@@ -286,9 +286,9 @@ class StreamingDestriper:
                 if self.journal and (z0, z1) in self.journal.done:
                     read_q.append(((z0, z1), None))
                 else:
-                    t0 = time.time()
-                    fut = self.io.submit(self._read_slab, z0, z1)
-                    read_q.append(((z0, z1), (fut, t0)))
+                    read_q.append(
+                        ((z0, z1), self.io.submit(self._read_slab, z0, z1))
+                    )
                 next_read += 1
 
         schedule_reads()
@@ -299,17 +299,22 @@ class StreamingDestriper:
                 stats.slabs_skipped += 1
                 self.logger.info(f"slab {z0}:{z1} already committed; skipping")
                 continue
-            fut, t0 = item
-            data = fut.result()
+            # read_s measures only the time the pipeline BLOCKS on the read
+            # (clock starts at the wait, not at submit): a future that went
+            # ready while the previous slab was computing costs ~0, so the
+            # per-stage numbers are honest measures rather than upper bounds
+            t0 = time.time()
+            data = item.result()
             stats.read_s += time.time() - t0
 
             t0 = time.time()
             out = self._process_slab(data)
             stats.compute_s += time.time() - t0
 
-            t0 = time.time()
-
-            def write(z0=z0, z1=z1, out=out, t0=t0):
+            def write(z0=z0, z1=z1, out=out):
+                # clock starts when the writer thread picks the job up, so
+                # write_s is store-encode seconds, not pool queue depth
+                t0 = time.time()
                 self._write_slab(z0, z1, out)
                 if self.journal:
                     self.journal.commit((z0, z1))
