@@ -7,9 +7,11 @@ loader (SURVEY.md L1b). One process, three overlapped stages:
 
   [reader threads]  decode input Zarr chunks for slab k+1..k+prefetch
         |           (native blosc codec drops the GIL -> real parallelism)
-  [device]          destripe+flatfield jit on fixed-size plane batches;
-        |           uint16 in / uint16 out so PCIe traffic is halved, with
-        |           JAX async dispatch double-buffering H2D/compute/D2H
+  [devices]         destripe+flatfield jit on fixed-size plane batches,
+        |           sharded over ALL local chips via a 1-D z mesh (planes
+        |           are independent — zero collectives); uint16 in / uint16
+        |           out so PCIe traffic is halved, with JAX async dispatch
+        |           double-buffering H2D/compute/D2H
   [writer threads]  encode+write level-0 chunks for slab k-1
 
 The Z slab (default 64 planes) matches the reference's prediction chunk
@@ -36,6 +38,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.filter import DestripePlan, destripe_batch
 from ..ops.flatfield import flatfield_correction
@@ -60,18 +63,29 @@ class PipelineStats:
 
 
 def make_device_step(plan: DestripePlan, microscope_high_int: float,
-                     with_flatfield: bool):
+                     with_flatfield: bool, devices=None):
     """Jitted (batch,H,W) uint16 -> uint16 device step: destripe then (when
     flats are provided) shadow-correct; otherwise a zarr-style wrap cast,
     matching the reference's float write into a uint16 store
     (zarr_destriper.py:336). The operator matrices live on device and enter
     the kernel as arguments (baking them into the graph as literals stalls
-    the XLA compiler)."""
+    the XLA compiler).
 
-    consts = jax.device_put(plan.constants())
+    ``devices``: the accelerators to spread each batch over. With more than
+    one, a 1-D ``z`` mesh shards the plane axis — the TPU equivalent of the
+    reference's producer + ``co_cpus`` consumers (zarr_destriper.py:1136-1172):
+    per-plane compute needs no cross-chip communication, so each chip runs
+    the full kernel (Pallas programs included, via shard_map) on its shard.
+    Flats and operator constants are replicated.
 
-    @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
-    def step(plan, images, flat, dark, consts):
+    The returned callable carries helpers for the caller's data placement:
+    ``.put(chunk)`` shards/transfers a (B, H, W) numpy batch, ``.put_const``
+    replicates per-tile constants, ``.n_devices`` the mesh size.
+    """
+    devices = list(devices) if devices is not None else []
+    n_dev = max(1, len(devices))
+
+    def local_step(images, flat, dark, consts):
         # Epilogues fuse into the destripe kernel (on the Pallas band path
         # they run inside the final synthesis program — one less full-image
         # HBM round trip): flat-field correction when flats are provided,
@@ -87,7 +101,45 @@ def make_device_step(plan: DestripePlan, microscope_high_int: float,
             plan, images, microscope_high_int, consts, wrap=True
         )
 
-    return lambda images, flat, dark: step(plan, images, flat, dark, consts)
+    if n_dev == 1:
+        consts = jax.device_put(plan.constants(), *devices[:1])
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step(images, flat, dark, consts):
+            return local_step(images, flat, dark, consts)
+
+        fn = lambda images, flat, dark: step(images, flat, dark, consts)
+        fn.n_devices = 1
+        fn.put = (
+            (lambda chunk: jax.device_put(chunk, devices[0]))
+            if devices else jnp.asarray
+        )
+        fn.put_const = fn.put
+        return fn
+
+    mesh = Mesh(np.asarray(devices), ("z",))
+    in_spec = NamedSharding(mesh, P("z", None, None))
+    rep = NamedSharding(mesh, P())
+    consts = jax.device_put(plan.constants(), rep)
+
+    @partial(jax.jit, donate_argnums=(0,), out_shardings=in_spec)
+    def step(images, flat, dark, consts):
+        return jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P("z", None, None), P(), P(), P()),
+            out_specs=P("z", None, None),
+            # pallas_call outputs carry no varying-across-mesh annotation;
+            # the body is per-plane (no collectives), so the vma analysis
+            # has nothing to verify anyway
+            check_vma=False,
+        )(images, flat, dark, consts)
+
+    fn = lambda images, flat, dark: step(images, flat, dark, consts)
+    fn.n_devices = n_dev
+    fn.put = lambda chunk: jax.device_put(chunk, in_spec)
+    fn.put_const = lambda c: jax.device_put(c, rep)
+    return fn
 
 
 class _Journal:
@@ -144,13 +196,23 @@ class StreamingDestriper:
         io_threads: int = 0,
         logger: Optional[logging.Logger] = None,
         journal: bool = True,
+        devices=None,
     ):
         self.inp = input_array
         self.out = output_array
         self.plan = plan
         self.high_int = microscope_high_int
         self.slab = slab
-        self.device_batch = device_batch
+        # All visible accelerators by default: on a production v5e host one
+        # process drives every local chip (the mesh replaces the reference's
+        # consumer pool); pass an explicit 1-list to pin a single device.
+        self.devices = (
+            list(devices) if devices is not None else list(jax.local_devices())
+        )
+        n_dev = max(1, len(self.devices))
+        # each dispatch shards its batch over the z mesh axis — round the
+        # compiled batch up so every shard gets an equal plane count
+        self.device_batch = -(-device_batch // n_dev) * n_dev
         self.prefetch = max(1, prefetch)
         self.logger = logger or logging.getLogger(__name__)
         self.io = ThreadPoolExecutor(
@@ -183,9 +245,11 @@ class StreamingDestriper:
                 raise ValueError(f"flatfield shape {flat.shape} != plane {(h, w)}")
             if dark.shape[-2:] != (h, w):
                 dark = np.broadcast_to(dark, (h, w)).copy()
-        self._flat = jax.device_put(flat)
-        self._dark = jax.device_put(dark)
-        self._step = make_device_step(plan, microscope_high_int, self.with_flat)
+        self._step = make_device_step(
+            plan, microscope_high_int, self.with_flat, devices=self.devices
+        )
+        self._flat = self._step.put_const(flat)
+        self._dark = self._step.put_const(dark)
 
         meta = {
             "slab": slab,
@@ -250,7 +314,7 @@ class StreamingDestriper:
             if chunk.shape[0] < b:  # pad tail to the compiled batch size
                 pad = np.zeros((b - chunk.shape[0],) + chunk.shape[1:], chunk.dtype)
                 chunk = np.concatenate([chunk, pad], axis=0)
-            dev = jnp.asarray(np.ascontiguousarray(chunk))
+            dev = self._step.put(np.ascontiguousarray(chunk))
             pending.append((i, min(b, n - i), self._step(dev, self._flat, self._dark)))
             # keep at most 2 dispatches in flight (double buffering)
             while len(pending) > 2:

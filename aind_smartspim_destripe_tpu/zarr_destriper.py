@@ -326,6 +326,7 @@ def destripe_zarr(
     parameters: dict,
     flatfield=None,
     lazy_callback_fn: Optional[Callable] = None,
+    devices=None,
 ):
     """Destripe one OME-Zarr tile end-to-end: stream -> device filter +
     shadow correction -> level-0 Zarr -> multiscale + metadata (reference
@@ -335,6 +336,10 @@ def destripe_zarr(
     IO threads (0 -> auto); ``target_size_mb``/``super_chunksize``/
     ``batch_size`` are accepted for parameter parity (the TPU pipeline's
     prefetch depth replaces the producer super-chunk staging).
+
+    ``devices``: accelerators the pipeline shards each batch over (None ->
+    every local chip; the multi-chip analog of the reference's ``co_cpus``
+    consumer pool, zarr_destriper.py:1136-1172).
     """
     no_cells_config = parameters["no_cells_config"]
     cells_config = parameters["cells_config"]
@@ -463,6 +468,7 @@ def destripe_zarr(
             slab=int(prediction_chunksize[0]) if prediction_chunksize else 64,
             io_threads=n_workers or 0,
             logger=logger,
+            devices=devices,
         )
         with device_trace(os.environ.get("DESTRIPE_TRACE_DIR")):
             stats = pipe.run()
