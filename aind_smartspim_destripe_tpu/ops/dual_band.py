@@ -5,13 +5,17 @@ The reference README describes a "dual-band" mode (README.md:7-8) whose code
 survives only as vestigial helpers (``foreground_fraction``,
 filtering.py:25-51) — the shipped pipeline applies a single log-space filter.
 This module builds the dual-band variant from those vestiges, following the
-pystripe lineage the helpers come from: filter the plane twice with a
-foreground sigma and a background sigma, then blend per pixel by a smoothed
-sigmoid foreground fraction, so bright structure (cells) gets the gentler
-notch and background gets the aggressive one.
+pystripe lineage the helpers come from: filter the plane with a foreground
+sigma and a background sigma, then blend per pixel by a smoothed sigmoid
+foreground fraction, so bright structure (cells) gets the gentler notch and
+background gets the aggressive one.
 
-TPU-native: both bands share one wavelet decomposition batch; the blend is a
-fused elementwise op.
+TPU-native structure: both bands genuinely share ONE wavelet decomposition —
+``destripe_batch(plan, images, dual=True)`` runs analysis, Otsu, and the
+inpainting statistics once per plane and doubles only the per-plane notch
+products and the delta synthesis (ops/filter.py); the fused notch kernel
+reads each coefficient band once via a wrapped block index
+(ops/pallas_notch.py). The blend is a fused elementwise pass.
 """
 
 from __future__ import annotations
@@ -55,25 +59,25 @@ def _smooth(img: jax.Array, radius: int = 8) -> jax.Array:
 
 
 def dual_band_destripe_batch(
-    plan_fore,
-    plan_back,
+    plan,
     images: jax.Array,
     crossover: float = 100.0,
     threshold: float = -1.0,
     smooth_radius: int = 8,
-    consts_fore=None,
-    consts_back=None,
+    consts=None,
 ) -> jax.Array:
-    """Blend two destripe bands per pixel.
+    """Blend two destripe bands per pixel from one shared decomposition.
 
-    - ``plan_fore``: gentle config for bright structure (e.g. sigma=256),
-    - ``plan_back``: aggressive config for background (e.g. sigma=64),
+    - ``plan``: a dual plan whose ``cells`` slot holds the gentle foreground
+      config (e.g. sigma=256) and ``no_cells`` the aggressive background
+      config (e.g. sigma=128) — build with :func:`_dual_plan`,
     - ``threshold``: sigmoid center; < 0 means per-plane Otsu,
     - ``crossover``: sigmoid width (reference foreground_fraction semantics).
     """
     x = images.astype(jnp.float32)
-    fore = destripe_batch(plan_fore, x, -jnp.inf, consts_fore)
-    back = destripe_batch(plan_back, x, -jnp.inf, consts_back)
+    b = x.shape[0]
+    both = destripe_batch(plan, images, -jnp.inf, consts, dual=True)
+    fore, back = both[:b], both[b:]
 
     # Pallas one-hot histogram on TPU (ops/pallas_hist.py); the vmapped
     # scalar fallback's broadcast-compare loop costs ~10x at this size
@@ -87,19 +91,25 @@ def dual_band_destripe_batch(
 
 
 @lru_cache(maxsize=8)
-def _dual_plans(h, w, wavelet, level, sigma_fore, sigma_back, max_threshold):
-    cfg_f = FilterConfig(wavelet=wavelet, level=level, sigma=sigma_fore,
-                         max_threshold=max_threshold)
-    cfg_b = FilterConfig(wavelet=wavelet, level=level, sigma=sigma_back,
-                         max_threshold=max_threshold)
-    return build_plan(h, w, cfg_f, cfg_f), build_plan(h, w, cfg_b, cfg_b)
+def _dual_plan(h, w, wavelet, level, sigma_fore, sigma_back, max_threshold):
+    """One plan carrying both bands: cells slot = foreground (gentle sigma),
+    no_cells slot = background (aggressive sigma). Sharing the plan is what
+    lets destripe_batch(dual=True) share the decomposition — both configs
+    must (and do) agree on wavelet and level."""
+    return build_plan(
+        h, w,
+        FilterConfig(wavelet=wavelet, level=level, sigma=sigma_fore,
+                     max_threshold=max_threshold),
+        FilterConfig(wavelet=wavelet, level=level, sigma=sigma_back,
+                     max_threshold=max_threshold),
+    )
 
 
-@partial(jax.jit, static_argnums=(0, 1), static_argnames=("smooth_radius",))
-def _jitted_dual(plan_f, plan_b, images, crossover, threshold, cf, cb,
+@partial(jax.jit, static_argnums=(0,), static_argnames=("smooth_radius",))
+def _jitted_dual(plan, images, crossover, threshold, consts,
                  smooth_radius=8):
     return dual_band_destripe_batch(
-        plan_f, plan_b, images, crossover, threshold, smooth_radius, cf, cb
+        plan, images, crossover, threshold, smooth_radius, consts
     )
 
 
@@ -118,18 +128,16 @@ def dual_band_filtering(
     if squeeze:
         img = img[None]
     h, w = img.shape[-2:]
-    plan_f, plan_b = _dual_plans(
+    plan = _dual_plan(
         h, w, wavelet, level, float(sigma[0]), float(sigma[1]), float(max_threshold)
     )
     out = np.asarray(
         _jitted_dual(
-            plan_f,
-            plan_b,
+            plan,
             jnp.asarray(img.astype(np.float32)),
             float(crossover),
             float(threshold),
-            device_constants(plan_f),
-            device_constants(plan_b),
+            device_constants(plan),
         )
     )
     return out[0] if squeeze else out

@@ -459,6 +459,7 @@ def _filter_level(
     bmat_cat: jax.Array,  # (w, 2w): [cells | no_cells] notch operators fused
     thr_cells: float,
     thr_no_cells: float,
+    otsu_sqrt: Optional[jax.Array] = None,  # precomputed sqrt(otsu(ch^2))
 ) -> jax.Array:
     w = ch.shape[-1]
     max_thr = jnp.where(is_cells, thr_cells, thr_no_cells)
@@ -477,7 +478,8 @@ def _filter_level(
         # numerically identical to the reference formulation.
         from .pallas_median import row_median_masked
 
-        otsu_sqrt = jnp.sqrt(threshold_otsu_batch(ch, square=True))
+        if otsu_sqrt is None:
+            otsu_sqrt = jnp.sqrt(threshold_otsu_batch(ch, square=True))
         threshold = jnp.minimum(max_thr, otsu_sqrt)
         thr3 = threshold[:, None, None]
         # sqrt(ch*ch), not |ch|: the reference compares the rounded
@@ -493,7 +495,8 @@ def _filter_level(
     ch_sq = ch * ch
     ch_power = jnp.sqrt(ch_sq)
 
-    otsu_sqrt = jnp.sqrt(threshold_otsu_batch(ch_sq, pallas=False))  # (B,)
+    if otsu_sqrt is None:
+        otsu_sqrt = jnp.sqrt(threshold_otsu_batch(ch_sq, pallas=False))  # (B,)
     threshold = jnp.minimum(max_thr, otsu_sqrt)[:, None, None]
 
     mask = (ch_power > threshold).astype(ch.dtype)
@@ -521,12 +524,19 @@ def _filter_level_delta(
     thr_no_cells: float,
     notch_sel=None,  # stacked (hi, lo) bf16 operators, or None
     abs_range=None,  # optional per-plane (min|ch|, max|ch|) for Otsu
+    otsu_sqrt=None,  # precomputed per-output-plane sqrt(otsu(ch^2))
+    dual: bool = False,  # two output deltas per input plane (dual-band)
 ) -> jax.Array:
     """Per-level synthesis delta ``filter(ch) - ch``. With ``notch_sel``
     (TPU) the whole mask -> inpaint -> per-plane notch -> delta tail runs in
     one Pallas program (ops/pallas_notch.py) at HALF the notch FLOPs — the
     operator is chosen per plane instead of computing both bands. Falls back
-    to :func:`_filter_level` minus ch elsewhere (identical numerics)."""
+    to :func:`_filter_level` minus ch elsewhere (identical numerics).
+
+    ``dual=True`` (with ``is_cells``/``otsu_sqrt`` already doubled, first
+    half selecting the cells operator, second half no-cells): emits 2B
+    deltas from B coefficient planes — the fused kernel reads each band
+    once via a wrapped block index; the dense path tiles the band."""
     use_fused = (
         notch_sel is not None
         and pallas_env.enabled()
@@ -535,9 +545,10 @@ def _filter_level_delta(
     )
     if use_fused:
         max_thr = jnp.where(is_cells, thr_cells, thr_no_cells)
-        otsu_sqrt = jnp.sqrt(
-            threshold_otsu_batch(ch, square=True, abs_range=abs_range)
-        )
+        if otsu_sqrt is None:
+            otsu_sqrt = jnp.sqrt(
+                threshold_otsu_batch(ch, square=True, abs_range=abs_range)
+            )
         threshold = jnp.minimum(max_thr, otsu_sqrt)
         sel_idx = jnp.where(is_cells, 0, 1)
         # med_raw=None: the inpainting row medians are selected in-kernel
@@ -546,7 +557,11 @@ def _filter_level_delta(
         return pallas_notch.notch_delta(
             ch, None, threshold, sel_idx, notch_sel
         )
-    return _filter_level(ch, is_cells, bmat_cat, thr_cells, thr_no_cells) - ch
+    if dual:
+        ch = jnp.concatenate([ch, ch], axis=0)
+    return _filter_level(
+        ch, is_cells, bmat_cat, thr_cells, thr_no_cells, otsu_sqrt=otsu_sqrt
+    ) - ch
 
 
 # ---------------------------------------------------------------------------
@@ -562,6 +577,7 @@ def destripe_batch(
     flat: Optional[jax.Array] = None,
     dark: Optional[jax.Array] = None,
     wrap: bool = False,
+    dual: bool = False,
 ) -> jax.Array:
     """log-space wavelet-FFT destripe of a batch of planes; returns float32
     of the same shape. Jit with ``plan`` static (it is hashable) and, for
@@ -571,9 +587,22 @@ def destripe_batch(
     Optional fused epilogues (uint16 output, one less HBM round trip on the
     Pallas band path): ``flat``/``dark`` apply the flat-field correction
     (reference filtering.py:470-489); ``wrap=True`` applies the zarr-store
-    modulo-2^16 cast (reference zarr_destriper.py:336 parity)."""
+    modulo-2^16 cast (reference zarr_destriper.py:336 parity).
+
+    ``dual=True`` runs BOTH of the plan's configs on every plane from ONE
+    wavelet decomposition (the dual-band mode, BASELINE config 2): the
+    classifier is skipped, the analysis/Otsu/inpainting run once per plane,
+    and only the notch products and delta synthesis double. Returns
+    (2B, H, W) float32 — ``out[:B]`` filtered with ``plan.cells`` (the
+    foreground band), ``out[B:]`` with ``plan.no_cells`` (background);
+    epilogues are disallowed (blend first, then correct)."""
     if flat is not None and wrap:
         raise ValueError("flat-field and wrap epilogues are exclusive")
+    if dual and (flat is not None or wrap):
+        raise ValueError(
+            "dual mode returns both float32 bands; blend them before "
+            "applying a flat-field or wrap epilogue"
+        )
     if (flat is None) != (dark is None):
         raise ValueError(
             "destripe_batch: flat and dark must be provided together "
@@ -615,7 +644,8 @@ def destripe_batch(
 
     if plan.n_levels == 0:
         # Degenerate tiny-image case: wavedec2 returns [x] untouched.
-        return epilogue(jnp.exp(xlog) + 1.0)
+        out0 = epilogue(jnp.exp(xlog) + 1.0)
+        return jnp.concatenate([out0, out0], axis=0) if dual else out0
 
     if consts is None:
         consts = plan.constants()
@@ -633,16 +663,21 @@ def destripe_batch(
     # Classifier: when level 0 runs banded and the float16 sigmoid chain
     # reduces to one compare (it does for the production parameters), K1
     # emits the four partial reductions while streaming the input — the
-    # classifier then costs no extra pass over the batch.
+    # classifier then costs no extra pass over the batch. Dual mode needs
+    # no classifier at all: every plane takes BOTH configs, selected by
+    # batch half (first half = cells slot, second = no-cells).
+    B0 = x.shape[0]
     cut32 = (
         _classifier_cut_f32(400.0, 20.0, 0.3)
-        if bands.get(0) is not None
+        if bands.get(0) is not None and not dual
         else None
     )
-    is_cells = (
-        None if cut32 is not None
-        else classify_planes(x, microscope_high_int)
-    )
+    if dual:
+        is_cells = jnp.arange(2 * B0) < B0
+    elif cut32 is not None:
+        is_cells = None
+    else:
+        is_cells = classify_planes(x, microscope_high_int)
 
     # Analysis, finest -> coarsest. Only cA (to recurse) and cH (to filter)
     # are consumed, so the x-pass applies the lowpass half only — and it
@@ -711,6 +746,26 @@ def destripe_batch(
     for j, (ch, bm_cat, nsel) in enumerate(
         zip(reversed(chs), consts["notch_cat"], notch_sel)
     ):
+        abs_r = ch_ranges.get(n_chs - 1 - j)
+        otsu_sqrt = None
+        if dual:
+            # ONE Otsu per input plane, shared by both bands (the stripe
+            # threshold depends only on the coefficients, not the sigma),
+            # then tiled to the doubled delta batch. Gate mirrors
+            # _filter_level's pallas-vs-dense split (paths are bit-equal).
+            big = (
+                pallas_env.enabled()
+                and ch.dtype == jnp.float32
+                and ch.shape[-2] * ch.shape[-1] >= _PALLAS_MIN_PX
+            )
+            otsu1 = jnp.sqrt(threshold_otsu_batch(
+                ch if big else ch * ch,
+                square=big,
+                abs_range=abs_r if big else None,
+                pallas=None if big else False,
+            ))
+            otsu_sqrt = jnp.tile(otsu1, 2)
+            abs_r = None
         deltas.append(_filter_level_delta(
             ch,
             is_cells,
@@ -718,7 +773,9 @@ def destripe_batch(
             plan.cells.max_threshold,
             plan.no_cells.max_threshold,
             notch_sel=nsel,
-            abs_range=ch_ranges.get(n_chs - 1 - j),
+            abs_range=abs_r,
+            otsu_sqrt=otsu_sqrt,
+            dual=dual,
         ))
 
     # Delta synthesis, coarsest -> finest: by perfect reconstruction the
@@ -776,6 +833,9 @@ def destripe_batch(
             "...iw,jw->...ij", stacked_y, jnp.asarray(syn_x_lo), precision=P
         )
 
+    if dual:
+        # both bands' corrections apply to the same log-space input
+        xlog = jnp.concatenate([xlog, xlog], axis=0)
     y = xlog + corr
     return epilogue(jnp.exp(y) + 1.0)
 

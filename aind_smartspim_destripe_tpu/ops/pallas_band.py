@@ -518,6 +518,13 @@ def syn_x_exp(
     nc, w_win, r_out = bh.shape
     L_pad = _rup(L, 128)
     with_img = images is not None
+    # images may hold fewer planes than the correction batch (dual-band: two
+    # corrections per plane); the image block index then wraps modulo its
+    # own batch, so the raw planes are read in place rather than duplicated
+    B_img = B if images is None else int(images.shape[0])
+    if with_img and B % B_img:
+        raise ValueError(f"correction batch {B} not a multiple of image "
+                         f"batch {B_img}")
     with_flat = flat is not None
     if with_flat and wrap:
         raise ValueError("flat-field and wrap epilogues are exclusive")
@@ -594,8 +601,12 @@ def syn_x_exp(
                      memory_space=pltpu.VMEM),
     ]
     if with_img:
+        img_imap = (
+            (lambda t, b: (b, t, 0)) if B_img == B
+            else (lambda t, b: (b % B_img, t, 0))
+        )
         in_specs += [
-            pl.BlockSpec((1, rows_tile, nc * r_out), lambda t, b: (b, t, 0),
+            pl.BlockSpec((1, rows_tile, nc * r_out), img_imap,
                          memory_space=pltpu.VMEM),
         ]
     if with_flat:

@@ -55,6 +55,15 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _wrap_imap(n_out: int, n_in: int):
+    """Input block index map over the batch grid axis: identity when output
+    and input batches match, wrap-around (``b mod n_in``) when the kernel
+    emits several output variants per input plane."""
+    if n_out == n_in:
+        return lambda b, t, sel_ref, thr_ref: (b, t, 0)
+    return lambda b, t, sel_ref, thr_ref: (b % n_in, t, 0)
+
+
 def stacked_notch_operators(
     bc: np.ndarray, bn: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -87,8 +96,17 @@ def notch_delta(
     radix-bisection selection of ops/pallas_median.py over the masked rows
     already resident in VMEM) — one less kernel launch and one less full
     read of the band. Passing a precomputed ``row_median_masked(...,
-    raw=True)`` array instead reproduces the two-kernel split."""
+    raw=True)`` array instead reproduces the two-kernel split.
+
+    The output batch is ``thr.shape[0]`` — when it is a multiple k of the
+    input batch, output plane ``b`` reads input plane ``b mod B`` (the block
+    index map wraps), so one resident band yields k filtered variants
+    without materializing a concatenated copy in HBM. The dual-band filter
+    uses k=2: same coefficients, two notch operators/thresholds."""
     B, h, w = ch.shape
+    n_out = int(thr.shape[0])
+    if n_out % B:
+        raise ValueError(f"output batch {n_out} not a multiple of input {B}")
     oph, opl = op_blocks
     wp = oph.shape[-1]
     n_rt = _cdiv(h, rows_tile)
@@ -152,15 +170,13 @@ def notch_delta(
         pl.BlockSpec((1, wp, wp),
                      lambda b, t, sel_ref, thr_ref: (sel_ref[b], 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, rows_tile, wp),
-                     lambda b, t, sel_ref, thr_ref: (b, t, 0),
+        pl.BlockSpec((1, rows_tile, wp), _wrap_imap(n_out, B),
                      memory_space=pltpu.VMEM),
     ]
     ins = [oph, opl, ch]
     if with_med:
         in_specs.append(
-            pl.BlockSpec((1, rows_tile, 128),
-                         lambda b, t, sel_ref, thr_ref: (b, t, 0),
+            pl.BlockSpec((1, rows_tile, 128), _wrap_imap(n_out, B),
                          memory_space=pltpu.VMEM)
         )
         ins.append(med_raw)
@@ -169,7 +185,7 @@ def notch_delta(
         # batch outermost: the operator block index changes only when the
         # plane (and its classification) changes, so the 2-4 MB operator
         # DMA amortizes over all row tiles of a plane
-        grid=(B, n_rt),
+        grid=(n_out, n_rt),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, rows_tile, wp),
                                lambda b, t, sel_ref, thr_ref: (b, t, 0),
@@ -178,6 +194,6 @@ def notch_delta(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, h, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_out, h, w), jnp.float32),
         interpret=pallas_env.interpret_default(interpret),
     )(sel_idx.astype(jnp.int32), thr.astype(jnp.float32), *ins)

@@ -84,7 +84,7 @@ def config2():
     import jax
     from functools import partial
 
-    from aind_smartspim_destripe_tpu.ops.dual_band import _dual_plans, _jitted_dual
+    from aind_smartspim_destripe_tpu.ops.dual_band import _dual_plan, _jitted_dual
     from aind_smartspim_destripe_tpu.ops.filter import (
         FilterConfig, build_plan, destripe_batch, device_constants,
     )
@@ -100,10 +100,10 @@ def config2():
     print(json.dumps({"metric": "config2_log_space_64",
                       "value": round(rate / 1e6, 1), "unit": "MPix/s"}), flush=True)
 
-    plan_f, plan_b = _dual_plans(1600, 2000, "db3", None, 256.0, 128.0, 12.0)
-    cf, cb = device_constants(plan_f), device_constants(plan_b)
+    plan_d = _dual_plan(1600, 2000, "db3", None, 256.0, 128.0, 12.0)
+    cd = device_constants(plan_d)
     rate = _device_timer(
-        lambda x: _jitted_dual(plan_f, plan_b, x, 100.0, -1.0, cf, cb),
+        lambda x: _jitted_dual(plan_d, x, 100.0, -1.0, cd),
         (imgs,), imgs.size,
     )
     print(json.dumps({"metric": "config2_dual_band_64",

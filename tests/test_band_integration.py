@@ -133,6 +133,41 @@ def test_band_graph_odd_geometry(monkeypatch):
     assert psnr >= 60.0, f"odd-geometry PSNR {psnr:.1f} dB < 60"
 
 
+def test_band_graph_dual_mode(monkeypatch):
+    """dual=True through the interpreted Pallas graph: exercises the
+    wrapped input block indexing (notch_delta reads each band once for two
+    output variants; syn_x_exp reads the raw planes once for two
+    corrections) against the dense dual formulation."""
+    import os
+
+    plan_d = build_plan(
+        H, W,
+        FilterConfig(wavelet="db3", level=None, sigma=256, max_threshold=12),
+        FilterConfig(wavelet="db3", level=None, sigma=128, max_threshold=12),
+    )
+    x = _planes()
+
+    os.environ["DESTRIPE_NO_PALLAS"] = "1"
+    try:
+        dense = np.asarray(
+            destripe_batch(plan_d, x, -np.inf, plan_d.constants(), dual=True)
+        )
+    finally:
+        del os.environ["DESTRIPE_NO_PALLAS"]
+
+    monkeypatch.setenv("DESTRIPE_PALLAS_INTERPRET", "1")
+    consts = plan_d.constants()
+    assert "band0" in consts
+    got = np.asarray(
+        destripe_batch(plan_d, x, -np.inf, consts, dual=True)
+    )
+    assert got.shape == (2 * B, H, W)
+    psnr = _psnr(got, dense)
+    assert psnr >= 60.0, f"dual-mode PSNR {psnr:.1f} dB < 60"
+    # the two bands must differ (sigma 256 vs 128)
+    assert np.abs(got[:B] - got[B:]).max() > 0.1
+
+
 def test_band_graph_wrap_epilogue(plan, dense_out, monkeypatch):
     consts = _pallas_consts(plan, monkeypatch)
     got = np.asarray(

@@ -34,3 +34,34 @@ def test_dual_band_batch_and_fixed_threshold():
     out = dual_band_filtering(imgs, sigma=(128.0, 32.0), threshold=500.0)
     assert out.shape == imgs.shape
     assert np.isfinite(out).all()
+
+
+def test_dual_shared_decomposition_matches_two_single_runs():
+    """destripe_batch(dual=True) — one analysis, two notch/synthesis bands —
+    must reproduce two independent single-band runs (up to f32 batch-extent
+    vectorization jitter; the algorithms are identical per plane)."""
+    import jax.numpy as jnp
+
+    from aind_smartspim_destripe_tpu.ops.filter import (
+        FilterConfig,
+        build_plan,
+        destripe_batch,
+    )
+
+    h, w = 96, 128
+    imgs = np.stack(
+        [synthetic_plane(h, w, seed=s) for s in range(3)]
+    ).astype(np.float32)
+    cfg_f = FilterConfig("db3", None, 256.0, 12.0)
+    cfg_b = FilterConfig("db3", None, 128.0, 12.0)
+    plan_dual = build_plan(h, w, cfg_f, cfg_b)
+    both = np.asarray(
+        destripe_batch(plan_dual, jnp.asarray(imgs), -np.inf, dual=True)
+    )
+    assert both.shape == (6, h, w)
+    for cfg, half in ((cfg_f, both[:3]), (cfg_b, both[3:])):
+        plan = build_plan(h, w, cfg, cfg)
+        single = np.asarray(destripe_batch(plan, jnp.asarray(imgs), -np.inf))
+        np.testing.assert_allclose(half, single, rtol=0, atol=2e-3)
+    # the two bands genuinely differ (different sigmas)
+    assert np.abs(both[:3] - both[3:]).max() > 0.1
