@@ -328,8 +328,11 @@ def compress_batch(
     )
     if rc != 0:
         return [compress(c, typesize, clevel, shuffle, cname) for c in chunks]
+    # memoryviews into the shared destination block (zero-copy, like
+    # decompress_batch): file writers take them directly, and each view
+    # keeps the backing block alive
     return [
-        dst_np[int(offs[i]) : int(offs[i]) + outl[i]].tobytes() for i in range(n)
+        dst_np[int(offs[i]) : int(offs[i]) + outl[i]].data for i in range(n)
     ]
 
 
@@ -385,15 +388,19 @@ def compress(
     lib = _load_native()
     if lib and cname == "zstd":
         if isinstance(data, np.ndarray):
-            data = data.tobytes()
+            src = np.ascontiguousarray(data).view(np.uint8).reshape(-1)
         else:
             data = bytes(data)
-        dst = ctypes.create_string_buffer(len(data) + 16 + 4096)
+            src = np.frombuffer(data, np.uint8)
+        # np.empty, not create_string_buffer: the latter zero-fills the
+        # whole capacity (a full extra memset per MB-scale frame)
+        dst = np.empty(src.nbytes + 16 + 4096, np.uint8)
         n = lib.blosc1_compress(
-            data, len(data), typesize, clevel, shuffle, dst, len(dst)
+            ctypes.c_char_p(src.ctypes.data), src.nbytes, typesize, clevel,
+            shuffle, ctypes.c_char_p(dst.ctypes.data), dst.nbytes,
         )
         if n > 0:
-            return dst.raw[:n]
+            return dst[:n].tobytes()
     return compress_py(data, typesize, clevel, shuffle, cname, blocksize)
 
 
@@ -405,10 +412,15 @@ def decompress(frame, out: Optional[np.ndarray] = None) -> bytes:
         nbytes = struct.unpack("<I", frame_b[4:8])[0]
         code = (frame_b[2] >> 5) & 0x07
         if code in (0, 4) or frame_b[2] & 0x02:
-            dst = ctypes.create_string_buffer(max(nbytes, 1))
-            n = lib.blosc1_decompress(frame_b, len(frame_b), dst, nbytes)
+            dst = np.empty(max(nbytes, 1), np.uint8)
+            n = lib.blosc1_decompress(
+                frame_b, len(frame_b), ctypes.c_char_p(dst.ctypes.data),
+                nbytes,
+            )
             if n == nbytes:
-                return dst.raw[:nbytes]
+                if out is not None:
+                    np.copyto(out.view(np.uint8).reshape(-1), dst[:nbytes])
+                return dst[:nbytes].tobytes()
     return decompress_py(frame)
 
 
