@@ -56,6 +56,15 @@ class PipelineStats:
     write_s: float = 0.0
     wall_s: float = 0.0
     pixels: int = 0
+    # per-slab records [(z0, z1, read_wait_s, compute_s)] — read_wait is
+    # the time the loop BLOCKED on the prefetched read (0 when it overlapped
+    # fully with the previous slab's compute); write seconds live on the
+    # writer pool and are aggregated in write_s only
+    slab_records: list = None
+
+    def __post_init__(self):
+        if self.slab_records is None:
+            self.slab_records = []
 
     @property
     def gpix_per_s(self) -> float:
@@ -369,11 +378,14 @@ class StreamingDestriper:
             # per-stage numbers are honest measures rather than upper bounds
             t0 = time.time()
             data = item.result()
-            stats.read_s += time.time() - t0
+            read_wait = time.time() - t0
+            stats.read_s += read_wait
 
             t0 = time.time()
             out = self._process_slab(data)
-            stats.compute_s += time.time() - t0
+            compute = time.time() - t0
+            stats.compute_s += compute
+            stats.slab_records.append((z0, z1, read_wait, compute))
 
             def write(z0=z0, z1=z1, out=out):
                 # clock starts when the writer thread picks the job up, so
