@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import pallas_blend, pallas_env
 from .filter import FilterConfig, build_plan, destripe_batch, device_constants
 from .otsu import threshold_otsu_batch
 
@@ -81,11 +82,26 @@ def dual_band_destripe_batch(
 
     # Pallas one-hot histogram on TPU (ops/pallas_hist.py); the vmapped
     # scalar fallback's broadcast-compare loop costs ~10x at this size
-    otsu_centers = threshold_otsu_batch(x)[:, None, None]
-    fixed = jnp.full_like(otsu_centers, threshold)
-    centers = jnp.where(threshold < 0, otsu_centers, fixed)
+    otsu_centers = threshold_otsu_batch(x)
+    centers = jnp.where(
+        threshold < 0, otsu_centers, jnp.full_like(otsu_centers, threshold)
+    )
 
-    frac = 1.0 / (1.0 + jnp.exp(-(x - centers) / crossover))
+    # Fused blend (ops/pallas_blend.py): sigmoid -> 17x17 box smooth ->
+    # band mix in one kernel — the XLA chain below moves the full-res frac
+    # through HBM five times (~29 ms of the ~65 ms dual step at production
+    # geometry). Needs a static crossover (baked into the kernel).
+    if (
+        pallas_env.enabled()
+        and not isinstance(crossover, jax.core.Tracer)
+        and smooth_radius == pallas_blend.RADIUS
+        and x.shape[-2] * x.shape[-1] >= 400_000
+    ):
+        return pallas_blend.blend_smooth_mix(
+            x, fore, back, centers, float(crossover)
+        )
+
+    frac = 1.0 / (1.0 + jnp.exp(-(x - centers[:, None, None]) / crossover))
     frac = _smooth(frac, smooth_radius)
     return fore * frac + back * (1.0 - frac)
 
@@ -105,9 +121,15 @@ def _dual_plan(h, w, wavelet, level, sigma_fore, sigma_back, max_threshold):
     )
 
 
-@partial(jax.jit, static_argnums=(0,), static_argnames=("smooth_radius",))
-def _jitted_dual(plan, images, crossover, threshold, consts,
+@partial(
+    jax.jit,
+    static_argnums=(0,),
+    static_argnames=("crossover", "smooth_radius"),
+)
+def _jitted_dual(plan, images, threshold, consts, crossover=100.0,
                  smooth_radius=8):
+    # crossover is static so the fused blend kernel can bake it in (it is a
+    # config constant, not per-plane data)
     return dual_band_destripe_batch(
         plan, images, crossover, threshold, smooth_radius, consts
     )
@@ -135,9 +157,9 @@ def dual_band_filtering(
         _jitted_dual(
             plan,
             jnp.asarray(img.astype(np.float32)),
-            float(crossover),
             float(threshold),
             device_constants(plan),
+            crossover=float(crossover),
         )
     )
     return out[0] if squeeze else out

@@ -111,27 +111,48 @@ def config2():
     import jax
     from functools import partial
 
-    from aind_smartspim_destripe_tpu.ops.dual_band import _dual_plan, _jitted_dual
+    from aind_smartspim_destripe_tpu.ops.dual_band import _dual_plan
     from aind_smartspim_destripe_tpu.ops.filter import (
         FilterConfig, build_plan, destripe_batch, device_constants,
     )
 
+    import jax.numpy as jnp
+
     imgs = jax.device_put(_striped(64, 1600, 2000).astype(np.float32))
+
+    # Scan-chained device-resident loops (same scope discipline as bench.py):
+    # the earlier _device_timer dispatch pattern paid one D2H round trip per
+    # iteration, which on the dev tunnel (~35 ms RTT) inflated the step ~60%.
+    def _scan_rate(step_fn, x, n_it=24):
+        @jax.jit
+        def loop(x):
+            def body(tok, _):
+                xx, t = jax.lax.optimization_barrier((x, tok))
+                out = step_fn(xx)
+                return out[0, 0, 0].astype(jnp.float32) + t, ()
+
+            tok, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n_it)
+            return tok
+
+        _ = float(np.asarray(loop(x)))  # compile + warm
+        t0 = time.perf_counter()
+        _ = float(np.asarray(loop(x)))
+        return x.size * n_it / (time.perf_counter() - t0)
 
     cfg = FilterConfig(wavelet="db3", level=None, sigma=128, max_threshold=12)
     plan = build_plan(1600, 2000, cfg, cfg)
     consts = device_constants(plan)
-    f_log = jax.jit(partial(
-        lambda p, x, c: destripe_batch(p, x, -np.inf, c), plan))
-    rate = _device_timer(lambda x: f_log(x, consts), (imgs,), imgs.size)
+    rate = _scan_rate(
+        lambda x: destripe_batch(plan, x, -np.inf, consts), imgs)
     print(json.dumps({"metric": "config2_log_space_64",
                       "value": round(rate / 1e6, 1), "unit": "MPix/s"}), flush=True)
 
     plan_d = _dual_plan(1600, 2000, "db3", None, 256.0, 128.0, 12.0)
     cd = device_constants(plan_d)
-    rate = _device_timer(
-        lambda x: _jitted_dual(plan_d, x, 100.0, -1.0, cd),
-        (imgs,), imgs.size,
+    from aind_smartspim_destripe_tpu.ops.dual_band import dual_band_destripe_batch
+    rate = _scan_rate(
+        lambda x: dual_band_destripe_batch(plan_d, x, 100.0, -1.0, 8, cd),
+        imgs,
     )
     print(json.dumps({"metric": "config2_dual_band_64",
                       "value": round(rate / 1e6, 1), "unit": "MPix/s"}), flush=True)

@@ -65,3 +65,66 @@ def test_dual_shared_decomposition_matches_two_single_runs():
         np.testing.assert_allclose(half, single, rtol=0, atol=2e-3)
     # the two bands genuinely differ (different sigmas)
     assert np.abs(both[:3] - both[3:]).max() > 0.1
+
+
+def test_pallas_blend_matches_xla_chain():
+    """Fused blend kernel (ops/pallas_blend.py) vs the XLA sigmoid ->
+    box-smooth -> mix chain, at a geometry with ragged row tiles (H not a
+    multiple of rows_tile) and a non-128 lane width."""
+    import jax.numpy as jnp
+
+    from aind_smartspim_destripe_tpu.ops import pallas_blend
+    from aind_smartspim_destripe_tpu.ops.dual_band import _smooth
+
+    rng = np.random.default_rng(3)
+    B, H, W = 2, 200, 260
+    x = rng.uniform(0.0, 4000.0, (B, H, W)).astype(np.float32)
+    fore = (x * 0.9 + rng.normal(size=(B, H, W)) * 5).astype(np.float32)
+    back = (x * 1.1 + rng.normal(size=(B, H, W)) * 5).astype(np.float32)
+    centers = rng.uniform(100.0, 400.0, (B,)).astype(np.float32)
+
+    frac = 1.0 / (1.0 + jnp.exp(-(jnp.asarray(x) - centers[:, None, None]) / 100.0))
+    sm = _smooth(frac, pallas_blend.RADIUS)
+    ref = np.asarray(fore * sm + back * (1.0 - sm))
+
+    got = np.asarray(
+        pallas_blend.blend_smooth_mix(
+            jnp.asarray(x), jnp.asarray(fore), jnp.asarray(back),
+            jnp.asarray(centers), 100.0, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-2)
+
+
+def test_dual_band_fused_blend_wiring(monkeypatch):
+    """dual_band_destripe_batch dispatches to the fused blend kernel above
+    the size gate; its output must match the XLA formulation end to end."""
+    import os
+
+    import jax.numpy as jnp
+
+    from aind_smartspim_destripe_tpu.ops.dual_band import dual_band_destripe_batch
+    from aind_smartspim_destripe_tpu.ops.filter import build_plan, FilterConfig
+
+    h, w = 560, 720  # >= band gate per side, h*w >= 400k (blend gate)
+    plan = build_plan(
+        h, w,
+        FilterConfig(wavelet="db3", level=None, sigma=256, max_threshold=12),
+        FilterConfig(wavelet="db3", level=None, sigma=128, max_threshold=12),
+    )
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(np.clip(
+        400 + (rng.normal(size=(1, h, 1)) * 60) * np.ones((1, 1, w))
+        + rng.normal(size=(1, h, w)) * 10, 0, 65535).astype(np.float32))
+
+    os.environ["DESTRIPE_NO_PALLAS"] = "1"
+    try:
+        dense = np.asarray(dual_band_destripe_batch(plan, x, 100.0, -1.0))
+    finally:
+        del os.environ["DESTRIPE_NO_PALLAS"]
+
+    monkeypatch.setenv("DESTRIPE_PALLAS_INTERPRET", "1")
+    got = np.asarray(dual_band_destripe_batch(plan, x, 100.0, -1.0))
+    mse = float(np.mean((got - dense) ** 2))
+    psnr = 10.0 * np.log10(65535.0 ** 2 / max(mse, 1e-12))
+    assert psnr >= 60.0, f"fused-blend dual PSNR {psnr:.1f} dB < 60"
