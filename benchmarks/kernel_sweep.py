@@ -1,0 +1,132 @@
+"""On-chip tile-size sweep for the destripe step's Pallas kernels.
+
+Times the FULL production step (the bench.py harness: scan-chained
+iterations, one D2H sync) with ONE tile knob monkeypatched per variant, so
+measured deltas include every in-context effect — VMEM pressure, DMA
+overlap, grid overhead — not just the isolated kernel. Each variant gets a
+fresh trace (new jitted closure) so the patched default is actually seen.
+
+Usage:
+    python benchmarks/kernel_sweep.py notch 64 128 256   # notch rows_tile
+    python benchmarks/kernel_sweep.py k2col 128 256 512  # an_y_pass col_tile
+    python benchmarks/kernel_sweep.py k3col 128 256 512  # syn_y_pass col_tile
+
+Compile-fail variants (e.g. scoped-VMEM overflow at big tiles) are reported
+as such, not crashed on. Timing is best-of-2 after a warm run.
+"""
+
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+
+def main(argv):
+    import jax
+    import jax.numpy as jnp
+
+    from aind_smartspim_destripe_tpu.runtime import enable_compile_cache
+
+    enable_compile_cache()
+
+    from aind_smartspim_destripe_tpu.ops import pallas_band, pallas_notch
+    from aind_smartspim_destripe_tpu.ops.filter import (
+        FilterConfig,
+        build_plan,
+        destripe_batch,
+    )
+
+    knob = argv[0]
+    values = [int(v) for v in argv[1:]] or {
+        "notch": [64, 128, 256],
+        "k2col": [128, 256, 512],
+        "k3col": [128, 256, 512],
+    }[knob]
+
+    H, W, B = 1600, 2000, 64
+    iters = 48
+    plan = build_plan(
+        H, W,
+        FilterConfig(wavelet="db3", level=None, sigma=64, max_threshold=3),
+        FilterConfig(wavelet="db3", level=None, sigma=128, max_threshold=12),
+    )
+    consts = jax.device_put(plan.constants())
+
+    rng = np.random.default_rng(0)
+    level = np.where(np.arange(B) % 2 == 0, 300.0, 3200.0)[:, None, None]
+    base = np.clip(
+        level
+        + (rng.normal(size=(B, H, 1)) * 60) * np.ones((1, 1, W))
+        + rng.normal(size=(B, H, W)) * 10,
+        0, 65535,
+    ).astype(np.uint16)
+    dev = jax.device_put(base)
+    flat = jax.device_put(np.full((H, W), 1.2, np.float32))
+    dark = jax.device_put(np.full((H, W), 4.0, np.float32))
+
+    orig_notch = pallas_notch.notch_delta
+    orig_any = pallas_band.an_y_pass
+    orig_syny = pallas_band.syn_y_pass
+
+    def set_knob(v):
+        if knob == "notch":
+            pallas_notch.notch_delta = partial(orig_notch, rows_tile=v)
+        elif knob == "k2col":
+            pallas_band.an_y_pass = partial(orig_any, col_tile=v)
+        elif knob == "k3col":
+            pallas_band.syn_y_pass = partial(orig_syny, col_tile=v)
+        else:
+            raise SystemExit(f"unknown knob {knob}")
+
+    results = {}
+    for v in values:
+        set_knob(v)
+
+        # fresh closure per variant: the patched module attribute must be
+        # re-traced, not served from a previous variant's jit cache
+        @partial(jax.jit, static_argnums=(0, 1))
+        def step_loop(plan, n, images, flat, dark, consts):
+            def body(tok, _):
+                x, _tok = jax.lax.optimization_barrier((images, tok))
+                out = destripe_batch(
+                    plan, x, 2500.0, consts, flat=flat, dark=dark
+                )
+                return out[0, 0, 0].astype(jnp.float32) + _tok, ()
+
+            tok, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+            return tok
+
+        try:
+            _ = float(np.asarray(
+                step_loop(plan, iters, dev, flat, dark, consts)
+            ))  # compile + warm
+            best = float("inf")
+            for _rep in range(2):
+                t0 = time.perf_counter()
+                _ = float(np.asarray(
+                    step_loop(plan, iters, dev, flat, dark, consts)
+                ))
+                best = min(best, time.perf_counter() - t0)
+            ms = best / iters * 1e3
+            mpix = iters * B * H * W / best / 1e6
+            results[v] = ms
+            print(f"{knob}={v}: {ms:.2f} ms/step  ({mpix:.0f} MPix/s)",
+                  flush=True)
+        except Exception as e:  # Mosaic VMEM overflow etc.
+            results[v] = None
+            print(f"{knob}={v}: FAILED ({type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:120]})", flush=True)
+
+    pallas_notch.notch_delta = orig_notch
+    pallas_band.an_y_pass = orig_any
+    pallas_band.syn_y_pass = orig_syny
+
+    ok = {v: ms for v, ms in results.items() if ms is not None}
+    if ok:
+        bv = min(ok, key=ok.get)
+        print(f"best: {knob}={bv} at {ok[bv]:.2f} ms/step")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
