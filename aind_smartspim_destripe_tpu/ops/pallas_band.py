@@ -417,7 +417,8 @@ def syn_y_pass(
     stride: int,
     pad: int,
     out_h: int,
-    col_tile: int = 256,
+    col_tile: int = 512,  # on-chip full-step sweep: 128 -> 19.77 ms,
+    # 256 -> 19.65, 512 -> 19.59 (benchmarks/kernel_sweep.py k3col)
     interpret: bool = False,
 ) -> jax.Array:
     """One synthesis pass along axis -2 of the correction pyramid:

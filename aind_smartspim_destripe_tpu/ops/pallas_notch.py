@@ -86,7 +86,8 @@ def notch_delta(
     thr: jax.Array,  # (B,) f32 per-plane stripe threshold
     sel_idx: jax.Array,  # (B,) int32: 0 = cells operator, 1 = no-cells
     op_blocks: Tuple[jax.Array, jax.Array],  # (hi, lo) bf16 (2, wp, wp)
-    rows_tile: int = 128,
+    rows_tile: int = 256,  # on-chip full-step sweep (B=64, 1600x2000):
+    # 64 -> 21.85 ms, 128 -> 19.73, 256 -> 19.63 (benchmarks/kernel_sweep.py)
     interpret: bool = False,
 ) -> jax.Array:
     """Fused mask -> inpaint -> per-plane notch matmul -> delta. Returns

@@ -107,10 +107,18 @@ def main():
 
     looped = step_loop(plan, iters, dev, flat, dark, consts)
     _ = float(np.asarray(looped))  # compile + warm
-    t0 = time.perf_counter()
-    looped = step_loop(plan, iters, dev, flat, dark, consts)
-    _ = float(np.asarray(looped))
-    dt = time.perf_counter() - t0
+
+    # Optional device trace of the timed loop (summarize the .xplane.pb with
+    # benchmarks/trace_sum.py <file> <iters>); tracing adds overhead, so the
+    # reported timing below is from the traced run only when the hook is on.
+    trace_dir = __import__("os").environ.get("DESTRIPE_TRACE_DIR")
+    from aind_smartspim_destripe_tpu.runtime.tracing import device_trace
+
+    with device_trace(trace_dir):
+        t0 = time.perf_counter()
+        looped = step_loop(plan, iters, dev, flat, dark, consts)
+        _ = float(np.asarray(looped))
+        dt = time.perf_counter() - t0
 
     pixels = iters * B * H * W
     mpix_s = pixels / dt / 1e6

@@ -15,9 +15,12 @@ Compile-fail variants (e.g. scoped-VMEM overflow at big tiles) are reported
 as such, not crashed on. Timing is best-of-2 after a warm run.
 """
 
+import os
 import sys
 import time
 from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -42,10 +45,14 @@ def main(argv):
         "notch": [64, 128, 256],
         "k2col": [128, 256, 512],
         "k3col": [128, 256, 512],
+        "k1rows": [256, 320, 512],
+        "k4rows": [128, 160, 224],  # patches BOTH the bare (level>0) and
+        # flat-epilogue (level 0) calls — big values overflow the flat one
     }[knob]
 
     H, W, B = 1600, 2000, 64
-    iters = 48
+    iters = 64  # matches bench.py's scan length: the baseline variant's
+    # step_loop HLO is then identical to bench's and hits the compile cache
     plan = build_plan(
         H, W,
         FilterConfig(wavelet="db3", level=None, sigma=64, max_threshold=3),
@@ -68,6 +75,8 @@ def main(argv):
     orig_notch = pallas_notch.notch_delta
     orig_any = pallas_band.an_y_pass
     orig_syny = pallas_band.syn_y_pass
+    orig_anx = pallas_band.an_x_lowpass_log1p
+    orig_synx = pallas_band.syn_x_exp
 
     def set_knob(v):
         if knob == "notch":
@@ -76,6 +85,10 @@ def main(argv):
             pallas_band.an_y_pass = partial(orig_any, col_tile=v)
         elif knob == "k3col":
             pallas_band.syn_y_pass = partial(orig_syny, col_tile=v)
+        elif knob == "k1rows":
+            pallas_band.an_x_lowpass_log1p = partial(orig_anx, rows_tile=v)
+        elif knob == "k4rows":
+            pallas_band.syn_x_exp = partial(orig_synx, rows_tile=v)
         else:
             raise SystemExit(f"unknown knob {knob}")
 
@@ -121,6 +134,8 @@ def main(argv):
     pallas_notch.notch_delta = orig_notch
     pallas_band.an_y_pass = orig_any
     pallas_band.syn_y_pass = orig_syny
+    pallas_band.an_x_lowpass_log1p = orig_anx
+    pallas_band.syn_x_exp = orig_synx
 
     ok = {v: ms for v, ms in results.items() if ms is not None}
     if ok:

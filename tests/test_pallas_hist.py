@@ -31,6 +31,22 @@ def test_histogram_matches_xla(shape):
         assert got[b].sum() == x[b].size  # NaN padding contributed nothing
 
 
+@pytest.mark.parametrize("rows", [8, 24, 64, 1024])
+def test_histogram_rows_knob_bit_identical(rows):
+    """The tile-rows knob (retuned 8->64 on chip) must not change counts —
+    including rows larger than the plane (clamped) and ragged row tails."""
+    rng = np.random.default_rng(7)
+    x = (rng.normal(size=(2, 52, 130)) ** 2).astype(np.float32)
+    lo = x.reshape(2, -1).min(axis=1)
+    hi = x.reshape(2, -1).max(axis=1)
+    span = np.where(hi > lo, hi - lo, 1.0)
+    args = (jnp.asarray(x), jnp.asarray(lo), jnp.asarray(span))
+    want = np.asarray(histogram256_batch(*args, rows=8, interpret=True))
+    got = np.asarray(histogram256_batch(*args, rows=rows, interpret=True))
+    np.testing.assert_array_equal(got, want)
+    assert got.sum() == x.size
+
+
 def test_threshold_otsu_batch_fallback_matches_single():
     rng = np.random.default_rng(1)
     x = (rng.normal(size=(4, 32, 40)) ** 2).astype(np.float32)
