@@ -107,6 +107,31 @@ def histogram256_batch(x: jax.Array, lo: jax.Array, span: jax.Array,
     """
     B, H, W = x.shape
     Wp = -(-W // 128) * 128
+    # Narrow planes underfill the MXU contraction: the kernel issues one
+    # (16, Wp) dot per SUBLANE row, so dot-issue + one-hot-build overhead
+    # scales with row count, not elements (measured on chip: the 204x254
+    # level-2 band cost 1.06 ms vs 1.30 ms for the 16x bigger level-0 band).
+    # Binning is position-independent and NaN input elements self-mask (a
+    # NaN bin index compares False in both one-hots — the kernel's own
+    # ragged-tail mechanism), so fold `1024 // Wp` rows into one 1024-lane
+    # row on the XLA side. Counts are bit-identical: one-hot sums are exact
+    # 0/1 accumulation in any order. Precondition: finite input (wavelet
+    # coefficients are; NaNs would silently drop from the counts either way).
+    # Gated at fold >= 4 (Wp <= 256): the pad+relayout copy costs a full
+    # HBM round trip of the plane, which on-chip measurement shows only the
+    # narrow bands repay (level-2 204x254: 1.06 -> ~0.4 ms; the 403x503
+    # fold-2 level LOST ~0.7 ms net to its 53 MB copy — headline 10514 ->
+    # 10394 MPix/s with fold-2 included).
+    if 0 < Wp <= 256:
+        fold = 1024 // Wp
+        Hf = -(-H // fold) * fold
+        x = jnp.pad(
+            x.astype(jnp.float32),
+            ((0, 0), (0, Hf - H), (0, Wp - W)),
+            constant_values=jnp.nan,
+        ).reshape(B, Hf // fold, fold * Wp)
+        H, W = x.shape[1], x.shape[2]
+        Wp = W
     stats = jnp.stack([lo, span], axis=-1).astype(jnp.float32)  # (B, 2)
 
     rows = min(rows, -(-H // 8) * 8)  # don't exceed the (8-aligned) plane

@@ -47,6 +47,25 @@ def test_histogram_rows_knob_bit_identical(rows):
     assert got.sum() == x.size
 
 
+def test_histogram_narrow_fold_production_level2():
+    """The lane-fold fast path (Wp < 1024 planes refolded to 1024-lane rows)
+    must keep counts bit-identical at the production level-2 band geometry
+    (204 x 254: fold factor 4, ragged rows AND lanes)."""
+    rng = np.random.default_rng(5)
+    x = rng.normal(scale=3.0, size=(3, 204, 254)).astype(np.float32)
+    lo = x.reshape(3, -1).min(axis=1)
+    hi = x.reshape(3, -1).max(axis=1)
+    span = np.where(hi > lo, hi - lo, 1.0)
+    got = np.asarray(
+        histogram256_batch(jnp.asarray(x), jnp.asarray(lo), jnp.asarray(span),
+                           interpret=True)
+    )
+    for b in range(3):
+        want, _ = histogram_fixed_bins(jnp.asarray(x[b]))
+        np.testing.assert_array_equal(got[b], np.asarray(want))
+    assert got.sum() == x.size
+
+
 def test_threshold_otsu_batch_fallback_matches_single():
     rng = np.random.default_rng(1)
     x = (rng.normal(size=(4, 32, 40)) ** 2).astype(np.float32)
