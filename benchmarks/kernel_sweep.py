@@ -34,6 +34,7 @@ def main(argv):
     enable_compile_cache()
 
     from aind_smartspim_destripe_tpu.ops import pallas_band, pallas_notch
+    from aind_smartspim_destripe_tpu.ops import filter as flt
     from aind_smartspim_destripe_tpu.ops.filter import (
         FilterConfig,
         build_plan,
@@ -48,6 +49,7 @@ def main(argv):
         "k1rows": [256, 320, 512],
         "k4rows": [128, 160, 224],  # patches BOTH the bare (level>0) and
         # flat-epilogue (level 0) calls — big values overflow the flat one
+        "deeppack": [0, 1],  # packed deep tail off/on (filter._DEEP_PACK)
     }[knob]
 
     H, W, B = 1600, 2000, 64
@@ -77,6 +79,7 @@ def main(argv):
     orig_syny = pallas_band.syn_y_pass
     orig_anx = pallas_band.an_x_lowpass_log1p
     orig_synx = pallas_band.syn_x_exp
+    orig_deep = flt._DEEP_PACK
 
     def set_knob(v):
         if knob == "notch":
@@ -89,6 +92,8 @@ def main(argv):
             pallas_band.an_x_lowpass_log1p = partial(orig_anx, rows_tile=v)
         elif knob == "k4rows":
             pallas_band.syn_x_exp = partial(orig_synx, rows_tile=v)
+        elif knob == "deeppack":
+            flt._DEEP_PACK = bool(v)
         else:
             raise SystemExit(f"unknown knob {knob}")
 
@@ -136,6 +141,7 @@ def main(argv):
     pallas_band.syn_y_pass = orig_syny
     pallas_band.an_x_lowpass_log1p = orig_anx
     pallas_band.syn_x_exp = orig_synx
+    flt._DEEP_PACK = orig_deep
 
     ok = {v: ms for v, ms in results.items() if ms is not None}
     if ok:

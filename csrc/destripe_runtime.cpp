@@ -10,6 +10,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cstdlib>
 #include <algorithm>
 #include <vector>
 #include <thread>
@@ -293,7 +294,13 @@ long long blosc1_compress(const char* src_, size_t nbytes, int typesize,
   // 1.96 vs 1.96 on cell-rich ones) at 1.2-5x the speed — level 3's lazy
   // matching buys nothing on byte-plane content. Higher clevels pass
   // through for callers that ask for deep compression.
-  const int zlevel = clevel <= 3 ? 1 : clevel;
+  // DESTRIPE_ZSTD_LEVEL overrides the fast-path level (negative = zstd
+  // --fast: ~1.8x encode speed at a few % ratio on these planes).
+  static const int fast_level = [] {
+    const char* e = std::getenv("DESTRIPE_ZSTD_LEVEL");
+    return e && *e ? atoi(e) : 1;
+  }();
+  const int zlevel = clevel <= 3 ? fast_level : clevel;
   size_t pos = kHeaderSize + 4 * nblocks;
   thread_local std::vector<uint8_t> work;
   if (work.size() < bs) work.resize(bs);
