@@ -295,7 +295,14 @@ def compress_batch(
 ) -> list:
     """Encode many frames in ONE native call (the C++ runtime fans the
     batch over its own threads — no per-chunk Python dispatch). Falls back
-    to per-frame compress() when the native library is absent."""
+    to per-frame compress() when the native library is absent.
+
+    Returns buffer-protocol frames, NOT necessarily ``bytes``: on the
+    native path each element is a zero-copy ``memoryview`` into one shared
+    destination block, sized for the whole batch. ``file.write(frame)`` and
+    ``len(frame)`` work directly; call ``bytes(frame)`` before pickling,
+    hashing, or retaining a single frame long-term (any retained view keeps
+    the whole batch block alive)."""
     lib = _load_native()
     if not lib or cname != "zstd" or not chunks:
         return [compress(c, typesize, clevel, shuffle, cname) for c in chunks]
@@ -405,7 +412,11 @@ def compress(
 
 
 def decompress(frame, out: Optional[np.ndarray] = None) -> bytes:
-    """Decode one blosc1 frame."""
+    """Decode one blosc1 frame.
+
+    ``out``: optional uint8-viewable array of exactly the decoded size; it is
+    filled with the payload on EVERY path (native or python fallback), so
+    callers may read it regardless of which backend handled the frame."""
     lib = _load_native()
     if lib:
         frame_b = bytes(frame)
@@ -421,7 +432,13 @@ def decompress(frame, out: Optional[np.ndarray] = None) -> bytes:
                 if out is not None:
                     np.copyto(out.view(np.uint8).reshape(-1), dst[:nbytes])
                 return dst[:nbytes].tobytes()
-    return decompress_py(frame)
+    payload = decompress_py(frame)
+    if out is not None:
+        np.copyto(
+            out.view(np.uint8).reshape(-1),
+            np.frombuffer(payload, np.uint8),
+        )
+    return payload
 
 
 # ---------------------------------------------------------------------------

@@ -183,7 +183,10 @@ class DestripePlan:
                     self.ladder, self.notch_matrices()
                 )
             )
-        n_pack = _deep_pack_levels(self)
+        # Only built (and device_put / mesh-replicated by callers) when the
+        # packed tail is enabled; destripe_batch degrades gracefully to the
+        # per-level chain when the key is absent.
+        n_pack = _deep_pack_levels(self) if _DEEP_PACK else 0
         if n_pack:
             out["deep"] = _deep_pack_constants(self, n_pack)
         return out
@@ -213,8 +216,12 @@ def _deep_pack_constants(plan: "DestripePlan", n_pack: int) -> dict:
     stack, and per-(plane, level) scalars map to rows through the exact
     0/1 ``onehot`` matmul. Keys:
 
-    - onehot (L, R) f32: row -> level indicator (exact broadcast/segment-sum
-      operator: products with 0/1 are exact in f32)
+    - onehot (L, R) f32: row -> level indicator for the histogram segment
+      sum (exact: 0/1 operands and integer counts <= 256 are bf16-exact,
+      and the MXU accumulates in f32)
+    - lvl_idx (R,) int32: row -> level index (per-level scalars broadcast
+      to rows by GATHER, not matmul — a Precision.DEFAULT einsum would
+      truncate the f32 scalars to bf16 on TPU)
     - lane_valid (R, w0) bool: lane < width(level(row))
     - med_lo / med_hi (R,) int32: per-row order statistics of the row
       median ((w-1)//2 and w//2 of the level's width; equal for odd widths,
@@ -230,6 +237,7 @@ def _deep_pack_constants(plan: "DestripePlan", n_pack: int) -> dict:
     w0 = ladder[-1][1]
     R = sum(h for h, _ in ladder)
     onehot = np.zeros((n_pack, R), np.float32)
+    lvl_idx = np.zeros((R,), np.int32)
     lane_valid = np.zeros((R, w0), bool)
     med_lo = np.zeros((R,), np.int32)
     med_hi = np.zeros((R,), np.int32)
@@ -239,6 +247,7 @@ def _deep_pack_constants(plan: "DestripePlan", n_pack: int) -> dict:
     r0 = 0
     for lvl, (h, w) in enumerate(ladder):
         onehot[lvl, r0 : r0 + h] = 1.0
+        lvl_idx[r0 : r0 + h] = lvl
         lane_valid[r0 : r0 + h, :w] = True
         med_lo[r0 : r0 + h] = (w - 1) // 2
         med_hi[r0 : r0 + h] = w // 2
@@ -251,6 +260,7 @@ def _deep_pack_constants(plan: "DestripePlan", n_pack: int) -> dict:
         r0 += h
     return {
         "onehot": onehot,
+        "lvl_idx": lvl_idx,
         "lane_valid": lane_valid,
         "med_lo": med_lo,
         "med_hi": med_hi,
@@ -696,8 +706,12 @@ def _filter_deep_tail(
     hi = jnp.stack(his, axis=1)
     span = hi - lo
     safe_span = jnp.where(span > 0, span, 1.0)
-    lo_rowb = jnp.einsum("bl,lr->br", lo, onehot)  # exact broadcasts
-    span_rowb = jnp.einsum("bl,lr->br", safe_span, onehot)
+    # level scalars -> rows by exact gather (NOT einsum: a matmul broadcast
+    # runs at Precision.DEFAULT = bf16 operand truncation on TPU, shifting
+    # bin edges off the per-level path's)
+    lvl_idx = deep["lvl_idx"]  # (R,) int32
+    lo_rowb = jnp.take(lo, lvl_idx, axis=1)  # (B, R)
+    span_rowb = jnp.take(safe_span, lvl_idx, axis=1)
     # clip in FLOAT before the cast: valid lanes floor to integers in
     # [0, 256] (clip = the closed right-most bin), padded lanes floor to
     # +inf and clip to exactly 255.0 (an f32->int cast of inf would be
@@ -739,7 +753,7 @@ def _filter_deep_tail(
         is_cells, plan.cells.max_threshold, plan.no_cells.max_threshold
     )
     threshold = jnp.minimum(max_thr[:, None], otsu_sqrt)  # (Bd, L)
-    thr_rowb = jnp.einsum("bl,lr->br", threshold, onehot)[..., None]
+    thr_rowb = jnp.take(threshold, lvl_idx, axis=1)[..., None]  # exact gather
 
     # --- mask -> row-median inpaint (one sort) -> per-level notch/delta ---
     # sqrt(x*x), not |x|: the reference compares the rounded sqrt-of-square

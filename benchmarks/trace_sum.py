@@ -88,9 +88,7 @@ def summarize(path, iters=1, top_n=60):
                     lname = lv.decode()
                 elif lf == 4:
                     events.append(lv)
-            if "XLA Ops" not in lname and "Steps" not in lname:
-                continue
-            if "Steps" in lname:
+            if "XLA Ops" not in lname:
                 continue
             for ev_b in events:
                 mid = dur = 0
