@@ -651,48 +651,22 @@ def _filter_level_delta(
     ) - ch
 
 
-def _filter_deep_tail(
-    plan: "DestripePlan",
-    chs: list,  # coarsest-first packed cH bands, (B, h_l, w_l) each
-    is_cells: jax.Array,  # (B,) bool, or (2B,) in dual mode
-    deep: dict,  # _deep_pack_constants operands (device pytree)
-    dual: bool = False,
-) -> list:
-    """Batched filter tail for the packed coarse levels (VERDICT r2 #8):
-    ONE op set — masked per-level Otsu, one row-median sort, one
-    mask/inpaint/delta element-wise chain — instead of a full per-level
-    chain each, collapsing the op-count-bound XLA tail (~7 us dispatch per
-    tiny op adds up to ~1 ms/step at production geometry).
+def _deep_tail_otsu(ladder, x: jax.Array, deep: dict) -> jax.Array:
+    """Per-(plane, level) Otsu thresholds (sqrt of the ch^2 threshold, the
+    filter's comparison scale) for the packed coarse-level stack ``x``
+    ((B, R, w0), lane-padded, coarsest first).
 
-    Numerically equivalent to :func:`_filter_level` minus ``ch`` per level
-    (reference filtering.py:186-219): lane padding is exact — padded ch is
-    0, so masks/backgrounds are 0 and the zero-padded operator rows add
-    exact zeros; the sort pads with +inf so each row's order statistics
-    index the level's true width; per-level scalars broadcast to rows via
-    exact 0/1 matmuls. Only the contraction/cumsum regrouping differs
-    (ulp-level, covered by the golden PSNR gates and the pack-vs-per-level
-    identity test).
-
-    Returns per-level deltas ``filter(ch) - ch``, coarsest first, exact
-    shapes restored."""
-    P = jax.lax.Precision.HIGH
-    ladder = plan.ladder[: len(chs)]
-    w0 = ladder[-1][1]
+    Matches :func:`.otsu.threshold_otsu_batch(square=True)` bin-for-bin on
+    each level's unpadded band (gated exactly by
+    ``tests/test_deep_pack.py::test_deep_otsu_matches_per_level``). Padded
+    lanes are poisoned to +inf ONCE so the hot one-hot histogram reduce
+    needs no 4-D mask (a masked (B,R,w0,256) ``where`` defeats XLA's
+    compare->reduce fusion and materializes the one-hot — measured
+    10528 -> 10119 MPix/s on chip): +inf bins deterministically into the
+    top bin via the float-side clip, and the exact padded count is
+    subtracted there (constants ``pad255``)."""
     lane_valid = deep["lane_valid"]  # (R, w0) bool
     onehot = deep["onehot"]  # (L, R) exact 0/1
-    x = jnp.concatenate(
-        [jnp.pad(ch, ((0, 0), (0, 0), (0, w0 - ch.shape[-1]))) for ch in chs],
-        axis=1,
-    )  # (B, R, w0)
-
-    # --- per-(plane, level) Otsu over ch^2 (otsu.threshold_otsu semantics,
-    # masked to each level's valid region; identical binning math).
-    # Padded lanes are poisoned to +inf ONCE so the hot one-hot histogram
-    # reduce needs no 4-D mask (a masked (B,R,w0,256) `where` defeats XLA's
-    # compare->reduce fusion and materializes the one-hot — measured
-    # 10528 -> 10119 MPix/s on chip): +inf bins deterministically into the
-    # top bin via the float-side clip, and the exact padded count is
-    # subtracted there (constants `pad255`). ---
     sq = jnp.where(lane_valid, x * x, jnp.inf)
     lo_row = jnp.min(sq, axis=-1)  # (B, R); +inf never wins a min
     hi_row = jnp.max(jnp.where(lane_valid, sq, -jnp.inf), axis=-1)
@@ -743,7 +717,42 @@ def _filter_deep_tail(
     am = jnp.argmax(var12, axis=-1)
     th = jnp.take_along_axis(centers, am[..., None], axis=-1)[..., 0]
     th = jnp.where(hi > lo, th, lo)  # degenerate constant band
-    otsu_sqrt = jnp.sqrt(th)  # (B, L)
+    return jnp.sqrt(th)  # (B, L)
+
+
+def _filter_deep_tail(
+    plan: "DestripePlan",
+    chs: list,  # coarsest-first packed cH bands, (B, h_l, w_l) each
+    is_cells: jax.Array,  # (B,) bool, or (2B,) in dual mode
+    deep: dict,  # _deep_pack_constants operands (device pytree)
+    dual: bool = False,
+) -> list:
+    """Batched filter tail for the packed coarse levels (VERDICT r2 #8):
+    ONE op set — masked per-level Otsu, one row-median sort, one
+    mask/inpaint/delta element-wise chain — instead of a full per-level
+    chain each, collapsing the op-count-bound XLA tail (~7 us dispatch per
+    tiny op adds up to ~1 ms/step at production geometry).
+
+    Numerically equivalent to :func:`_filter_level` minus ``ch`` per level
+    (reference filtering.py:186-219): lane padding is exact — padded ch is
+    0, so masks/backgrounds are 0 and the zero-padded operator rows add
+    exact zeros; the sort pads with +inf so each row's order statistics
+    index the level's true width; per-level scalars broadcast to rows via
+    exact 0/1 matmuls. Only the contraction/cumsum regrouping differs
+    (ulp-level, covered by the golden PSNR gates and the pack-vs-per-level
+    identity test).
+
+    Returns per-level deltas ``filter(ch) - ch``, coarsest first, exact
+    shapes restored."""
+    P = jax.lax.Precision.HIGH
+    ladder = plan.ladder[: len(chs)]
+    w0 = ladder[-1][1]
+    lane_valid = deep["lane_valid"]  # (R, w0) bool
+    x = jnp.concatenate(
+        [jnp.pad(ch, ((0, 0), (0, 0), (0, w0 - ch.shape[-1]))) for ch in chs],
+        axis=1,
+    )  # (B, R, w0)
+    otsu_sqrt = _deep_tail_otsu(ladder, x, deep)  # (B, L)
 
     if dual:
         # one Otsu per input plane, shared by both bands, then doubled
@@ -753,7 +762,9 @@ def _filter_deep_tail(
         is_cells, plan.cells.max_threshold, plan.no_cells.max_threshold
     )
     threshold = jnp.minimum(max_thr[:, None], otsu_sqrt)  # (Bd, L)
-    thr_rowb = jnp.take(threshold, lvl_idx, axis=1)[..., None]  # exact gather
+    thr_rowb = jnp.take(
+        threshold, deep["lvl_idx"], axis=1
+    )[..., None]  # exact gather
 
     # --- mask -> row-median inpaint (one sort) -> per-level notch/delta ---
     # sqrt(x*x), not |x|: the reference compares the rounded sqrt-of-square

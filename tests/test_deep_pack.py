@@ -63,6 +63,46 @@ def test_deep_constants_present():
     assert (deep["med_lo"] == (widths - 1) // 2).all()
 
 
+def test_deep_otsu_matches_per_level():
+    """The packed masked Otsu must equal threshold_otsu_batch(square=True)
+    BIT-EXACTLY per level: binning, bin centers, and cumulative moments all
+    reassociate only over exact operations (integer counts in f32, /256
+    power-of-two scaling), so any difference is a real regression."""
+    from aind_smartspim_destripe_tpu.ops.otsu import threshold_otsu_batch
+
+    plan = _plan()
+    deep = plan.constants()["deep"]
+    n = len(deep["bmat"])
+    ladder = plan.ladder[:n]
+    w0 = ladder[-1][1]
+    rng = np.random.default_rng(7)
+    # arbitrary band-shaped data (the gate is about the Otsu math, not the
+    # wavelet transform); mixed scales stress per-level bin ranges
+    chs_rev = [
+        jnp.asarray(
+            rng.normal(scale=10.0 ** (lvl - 2), size=(3, h, w))
+        ).astype(jnp.float32)
+        for lvl, (h, w) in enumerate(ladder)
+    ]
+    packed = jnp.concatenate(
+        [
+            jnp.pad(c, ((0, 0), (0, 0), (0, w0 - c.shape[-1])))
+            for c in chs_rev
+        ],
+        axis=1,
+    )
+    got = np.asarray(flt._deep_tail_otsu(ladder, packed, deep))  # (B, L)
+    for lvl in range(n):
+        want = np.sqrt(
+            np.asarray(
+                threshold_otsu_batch(chs_rev[lvl], square=True, pallas=False)
+            )
+        )
+        np.testing.assert_array_equal(
+            got[:, lvl], want, err_msg=f"level {lvl}"
+        )
+
+
 def test_packed_matches_per_level(monkeypatch):
     plan = _plan()
     x = _planes()
