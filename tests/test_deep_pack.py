@@ -48,6 +48,13 @@ def _psnr(a, b):
     return np.inf if mse == 0 else 10 * np.log10(65535.0**2 / mse)
 
 
+@pytest.fixture(autouse=True)
+def _force_pack_on(monkeypatch):
+    """Pin the pack ON regardless of the module default, so these gates test
+    the packed path even if _DEEP_PACK ships default-off."""
+    monkeypatch.setattr(flt, "_DEEP_PACK", True)
+
+
 def test_deep_constants_present():
     consts = _plan().constants()
     assert "deep" in consts
@@ -144,12 +151,10 @@ def test_packed_partial_prefix():
         400 + rng.normal(size=(2, h, w)) * 40, 0, 65535
     ).astype(np.uint16)
     got = np.asarray(destripe_batch(plan, x, 2500.0, consts))
-    flt_mod = flt
-    old = flt_mod._DEEP_PACK
-    flt_mod._DEEP_PACK = False
+    flt._DEEP_PACK = False
     try:
         want = np.asarray(destripe_batch(plan, x, 2500.0, consts))
     finally:
-        flt_mod._DEEP_PACK = old
+        flt._DEEP_PACK = True
     psnr = _psnr(got, want)
     assert psnr >= 110.0, f"prefix pack PSNR {psnr:.1f} dB"
