@@ -402,9 +402,12 @@ def build_plan(
 # production geometry (the five coarsest of 8 levels fall under it).
 _PALLAS_MIN_PX = int(os.environ.get("DESTRIPE_PALLAS_MIN_PX", str(32 * 1024)))
 
-# Escape hatch / A-B handle for the packed deep tail (the batched coarse-level
-# filter path); the per-level chain is the reference formulation either way.
-_DEEP_PACK = os.environ.get("DESTRIPE_NO_DEEP_PACK", "") != "1"
+# Packed deep tail (batched coarse-level filter path): OPT-IN until the
+# mask-free rewrite is re-measured on chip — v1 (4-D masked one-hot)
+# measured 10528 -> 10119 MPix/s (ROADMAP "packed deep tail"). The
+# per-level chain is the reference formulation either way; parity of the
+# packed path is gated by tests/test_deep_pack.py regardless of default.
+_DEEP_PACK = os.environ.get("DESTRIPE_DEEP_PACK", "") == "1"
 
 
 @lru_cache(maxsize=8)
