@@ -60,7 +60,13 @@ def main(argv):
         FilterConfig(wavelet="db3", level=None, sigma=64, max_threshold=3),
         FilterConfig(wavelet="db3", level=None, sigma=128, max_threshold=12),
     )
+    # build constants with the pack operands INCLUDED regardless of the
+    # module default (constants() gates on _DEEP_PACK at build time; the
+    # deeppack knob flips usage at trace time and needs them present)
+    _saved = flt._DEEP_PACK
+    flt._DEEP_PACK = True
     consts = jax.device_put(plan.constants())
+    flt._DEEP_PACK = _saved
 
     rng = np.random.default_rng(0)
     level = np.where(np.arange(B) % 2 == 0, 300.0, 3200.0)[:, None, None]
