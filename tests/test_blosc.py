@@ -141,3 +141,68 @@ def test_batch_codec_roundtrip_and_fallback():
     )
     mixed = blosc.decompress_batch([frames[1], zframe, frames[2]])
     assert [bytes(m) for m in mixed] == [want[1], data, want[2]]
+
+
+_ADAPTIVE_CHILD = r"""
+import hashlib, sys
+import numpy as np
+from aind_smartspim_destripe_tpu.io import blosc
+rng = np.random.default_rng(0)
+Z = 8
+stripes = np.clip(
+    300 + (rng.normal(size=(Z, 128, 1)) * 60) * np.ones((1, 1, 128))
+    + rng.normal(size=(Z, 128, 128)) * 10, 0, 65535).astype(np.uint16)
+dim = np.clip(
+    100 + rng.normal(size=(Z, 128, 128)) * 8
+    + rng.normal(size=(Z, 128, 1)) * 20, 0, 65535).astype(np.uint16)
+for arr in (stripes, dim):
+    f = blosc.compress(arr.tobytes(), typesize=2, clevel=3)
+    assert blosc.decompress(f) == arr.tobytes()
+    print(len(f), hashlib.md5(f).hexdigest())
+"""
+
+
+def test_adaptive_literal_gate():
+    """The native codec's entropy-gated literal-Huffman fast path
+    (csrc/destripe_runtime.cpp literals_wasted): fires on stripes-shaped
+    u16 chunks (noisy low byte, near-constant high byte), must NOT fire on
+    dim content whose signal lives in the low byte, and fired frames must
+    stay decodable by system c-blosc. The gate env is read once per
+    process, so each state runs in a subprocess."""
+    import subprocess
+    import sys
+
+    if not blosc._load_native():
+        pytest.skip("native codec not built")
+
+    def run(adaptive):
+        import os
+
+        env = dict(os.environ, DESTRIPE_ZSTD_ADAPTIVE=adaptive,
+                   JAX_PLATFORMS="cpu")
+        out = subprocess.run(
+            [sys.executable, "-c", _ADAPTIVE_CHILD], env=env,
+            capture_output=True, text=True, check=True,
+        ).stdout.split()
+        return (int(out[0]), out[1]), (int(out[2]), out[3])
+
+    (s_on, d_on), (s_off, d_off) = run("1"), run("0")
+    # dim frames byte-identical: the probe must not have fired
+    assert d_on == d_off
+    # stripes frames differ (gate fired) but stay within 1% of the
+    # huffman-on size
+    assert s_on != s_off
+    assert s_on[0] <= s_off[0] * 1.01
+    # the fired frame decodes through system c-blosc (zarr interop)
+    if blosc.load_system_blosc() is not None:
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        Z = 8
+        stripes = np.clip(
+            300 + (rng.normal(size=(Z, 128, 1)) * 60) * np.ones((1, 1, 128))
+            + rng.normal(size=(Z, 128, 128)) * 10, 0, 65535
+        ).astype(np.uint16)
+        frame = blosc.compress(stripes.tobytes(), typesize=2, clevel=3)
+        assert blosc.system_decompress(frame, stripes.nbytes) == \
+            stripes.tobytes()
