@@ -103,6 +103,23 @@ def test_default_backend_roundtrip():
     data = payloads()["smooth"]
     frame = blosc.compress(data, typesize=2)
     assert blosc.decompress(frame) == data
+
+
+@pytest.mark.parametrize("clevel", [5, 9])
+def test_deep_clevel_tier_interop(clevel):
+    """clevel > 3 passes the caller's level straight to zstd (no fast-tier
+    remap, no literal-gate probe) — the deep tier must round-trip and stay
+    c-blosc-decodable through the advanced-API encode path too."""
+    rng = np.random.default_rng(clevel)
+    data = np.clip(
+        300 + rng.normal(size=300_000) * 40, 0, 65535
+    ).astype(np.uint16).tobytes()
+    frame = blosc.compress(data, typesize=2, clevel=clevel)
+    assert blosc.decompress(frame) == data
+    shallow = blosc.compress(data, typesize=2, clevel=3)
+    assert len(frame) <= len(shallow) * 1.02  # deeper never much worse
+    if blosc.load_system_blosc() is not None:
+        assert blosc.system_decompress(frame, len(data)) == data
     if blosc.load_system_blosc() is not None:
         assert blosc.system_decompress(frame, len(data)) == data
 
