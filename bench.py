@@ -21,7 +21,35 @@ import time
 import numpy as np
 
 
+def _probe_devices(timeout_s: float = 180.0):
+    """Fail fast (clear message, exit 1) when the TPU tunnel is down.
+
+    jax.devices() over a dead axon tunnel blocks forever with no error;
+    probing it on a daemon thread bounds the wait so a driver-run bench
+    reports the outage instead of hanging the round."""
+    import threading
+
+    box = {}
+
+    def probe():
+        import jax
+
+        box["devices"] = jax.devices()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in box:
+        raise SystemExit(
+            f"bench: no JAX devices after {timeout_s:.0f}s — TPU tunnel "
+            "down? (jax.devices() never returned)"
+        )
+    return box["devices"]
+
+
 def main():
+    _probe_devices()
+
     import jax
     import jax.numpy as jnp
 
