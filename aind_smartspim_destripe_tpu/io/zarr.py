@@ -563,7 +563,7 @@ class ZarrArray:
         ]
 
         def assemble(cid):
-            src_sel, dst_sel, full = [], [], True
+            src_sel, dst_sel, full, whole = [], [], True, True
             for d, ((lo, hi), c, n) in enumerate(
                 zip(bounds, self.chunks, self.shape)
             ):
@@ -575,7 +575,15 @@ class ZarrArray:
                 covered = s_hi - s_lo
                 if covered < min(c, n - c0):
                     full = False
-            if full:
+                if covered < c:
+                    whole = False
+            if whole:
+                # every buffer cell is about to be overwritten: skip the
+                # fill memset (2 MB/chunk at production geometry)
+                chunk = np.empty(self.chunks, dtype=self.dtype)
+            elif full:
+                # covers the chunk's in-array extent, but the chunk sticks
+                # out past the array edge: pad cells must hold fill_value
                 chunk = np.full(self.chunks, self.fill_value, dtype=self.dtype)
             else:
                 chunk = self.read_chunk(cid)
