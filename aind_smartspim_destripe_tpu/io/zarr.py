@@ -434,6 +434,15 @@ class ZarrArray:
         key = self.separator.join(str(i) for i in cidx)
         return os.path.join(self.path, key)
 
+    def _ensure_dir(self, d: str):
+        # memoized makedirs: nested "/"-separated chunk keys hit the same
+        # parent dirs hundreds of times per slab write (a set.add race is
+        # benign — makedirs is exist_ok)
+        made = self.__dict__.setdefault("_made_dirs", set())
+        if d not in made:
+            os.makedirs(d, exist_ok=True)
+            made.add(d)
+
     def read_chunk(self, cidx: Tuple[int, ...]) -> np.ndarray:
         """Decode one chunk (full chunk shape; missing -> fill_value)."""
         p = self._chunk_path(cidx)
@@ -471,7 +480,7 @@ class ZarrArray:
             buf = np.ascontiguousarray(arr)
         frame = self.codec.encode(buf.tobytes(), self._stored_dtype.itemsize if self.filters else self.itemsize)
         p = self._chunk_path(cidx)
-        os.makedirs(os.path.dirname(p), exist_ok=True)
+        self._ensure_dir(os.path.dirname(p))
         tmp = p + ".partial"
         with open(tmp, "wb") as f:
             f.write(frame)
@@ -606,7 +615,7 @@ class ZarrArray:
             def write_frame(args):
                 cid, frame = args
                 p = self._chunk_path(cid)
-                os.makedirs(os.path.dirname(p), exist_ok=True)
+                self._ensure_dir(os.path.dirname(p))
                 tmp = p + ".partial"
                 with open(tmp, "wb") as f:
                     f.write(frame)
