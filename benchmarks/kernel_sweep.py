@@ -50,16 +50,24 @@ def main(argv):
         "k4rows": [128, 160, 224],  # patches BOTH the bare (level>0) and
         # flat-epilogue (level 0) calls — big values overflow the flat one
         "deeppack": [0, 1],  # packed deep tail off/on (filter._DEEP_PACK)
+        "blend": [32, 48, 64, 96],  # dual-band blend kernel rows_tile
+        # (128 overflows scoped VMEM; timed on the DUAL step, not config 1)
     }[knob]
 
     H, W, B = 1600, 2000, 64
     iters = 64  # matches bench.py's scan length: the baseline variant's
     # step_loop HLO is then identical to bench's and hits the compile cache
-    plan = build_plan(
-        H, W,
-        FilterConfig(wavelet="db3", level=None, sigma=64, max_threshold=3),
-        FilterConfig(wavelet="db3", level=None, sigma=128, max_threshold=12),
-    )
+    from aind_smartspim_destripe_tpu.ops import dual_band, pallas_blend
+
+    if knob == "blend":
+        # the blend kernel only runs in the dual step — time that instead
+        plan = dual_band._dual_plan(H, W, "db3", None, 256.0, 128.0, 12.0)
+    else:
+        plan = build_plan(
+            H, W,
+            FilterConfig(wavelet="db3", level=None, sigma=64, max_threshold=3),
+            FilterConfig(wavelet="db3", level=None, sigma=128, max_threshold=12),
+        )
     # build constants with the pack operands INCLUDED regardless of the
     # module default (constants() gates on _DEEP_PACK at build time; the
     # deeppack knob flips usage at trace time and needs them present)
@@ -86,6 +94,7 @@ def main(argv):
     orig_anx = pallas_band.an_x_lowpass_log1p
     orig_synx = pallas_band.syn_x_exp
     orig_deep = flt._DEEP_PACK
+    orig_blend = pallas_blend.blend_smooth_mix
 
     def set_knob(v):
         if knob == "notch":
@@ -100,6 +109,10 @@ def main(argv):
             pallas_band.syn_x_exp = partial(orig_synx, rows_tile=v)
         elif knob == "deeppack":
             flt._DEEP_PACK = bool(v)
+        elif knob == "blend":
+            # dual_band resolves the kernel through the module attr at
+            # trace time, so patching the module is enough
+            pallas_blend.blend_smooth_mix = partial(orig_blend, rows_tile=v)
         else:
             raise SystemExit(f"unknown knob {knob}")
 
@@ -113,9 +126,14 @@ def main(argv):
         def step_loop(plan, n, images, flat, dark, consts):
             def body(tok, _):
                 x, _tok = jax.lax.optimization_barrier((images, tok))
-                out = destripe_batch(
-                    plan, x, 2500.0, consts, flat=flat, dark=dark
-                )
+                if knob == "blend":
+                    out = dual_band.dual_band_destripe_batch(
+                        plan, x, 100.0, -1.0, consts=consts
+                    )
+                else:
+                    out = destripe_batch(
+                        plan, x, 2500.0, consts, flat=flat, dark=dark
+                    )
                 return out[0, 0, 0].astype(jnp.float32) + _tok, ()
 
             tok, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
