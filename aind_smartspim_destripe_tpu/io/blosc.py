@@ -27,7 +27,6 @@ import ctypes
 import ctypes.util
 import os
 import struct
-from typing import Optional
 
 import numpy as np
 
@@ -136,7 +135,11 @@ def compress_py(
         raise NotImplementedError(f"python backend supports zstd only, got {cname}")
     if _zstd is None:  # pragma: no cover
         raise RuntimeError("zstandard module unavailable")
-    raw = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, (bytes, bytearray)) else np.frombuffer(data, np.uint8)
+    if isinstance(data, np.ndarray):
+        # ascontiguousarray: frombuffer rejects non-C-contiguous exports
+        raw = np.ascontiguousarray(data).view(np.uint8).reshape(-1)
+    else:
+        raw = np.frombuffer(data, np.uint8)
     nbytes = raw.size
     bs = _pick_blocksize(nbytes, typesize, blocksize, shuffle)
     nblocks = max(1, -(-nbytes // bs))
@@ -408,15 +411,18 @@ def compress(
         )
         if n > 0:
             return dst[:n].tobytes()
+        # fall back with the already-normalized contiguous view — the
+        # original may be a non-contiguous ndarray compress_py rejects
+        data = src
     return compress_py(data, typesize, clevel, shuffle, cname, blocksize)
 
 
-def decompress(frame, out: Optional[np.ndarray] = None) -> bytes:
-    """Decode one blosc1 frame.
+def decompress(frame) -> bytes:
+    """Decode one blosc1 frame (native backend when possible).
 
-    ``out``: optional uint8-viewable array of exactly the decoded size; it is
-    filled with the payload on EVERY path (native or python fallback), so
-    callers may read it regardless of which backend handled the frame."""
+    Zero-copy destination decodes are served by :func:`decompress_batch`
+    (memoryviews into one shared block); this single-frame entry returns
+    bytes."""
     lib = _load_native()
     if lib:
         frame_b = bytes(frame)
@@ -429,16 +435,8 @@ def decompress(frame, out: Optional[np.ndarray] = None) -> bytes:
                 nbytes,
             )
             if n == nbytes:
-                if out is not None:
-                    np.copyto(out.view(np.uint8).reshape(-1), dst[:nbytes])
                 return dst[:nbytes].tobytes()
-    payload = decompress_py(frame)
-    if out is not None:
-        np.copyto(
-            out.view(np.uint8).reshape(-1),
-            np.frombuffer(payload, np.uint8),
-        )
-    return payload
+    return decompress_py(frame)
 
 
 # ---------------------------------------------------------------------------

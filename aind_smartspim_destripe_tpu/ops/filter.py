@@ -704,8 +704,17 @@ def _deep_tail_otsu(ladder, x: jax.Array, deep: dict) -> jax.Array:
         (idx8[..., None] == bins).astype(jnp.float32), axis=2
     )  # (B, R, 256) — mask-free, fuses into one streamed reduce
     counts = (
-        jnp.einsum("brc,lr->blc", row_counts, onehot) - deep["pad255"]
-    )  # exact int sums minus the exact padded-lane count
+        jnp.einsum(
+            "brc,lr->blc",
+            row_counts,
+            onehot,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        - deep["pad255"]
+    )  # exact int sums minus the exact padded-lane count; HIGHEST forces
+    # f32 operands on TPU — DEFAULT would bf16-truncate row counts > 256
+    # (exact-integer ceiling of bf16), breaking the bit-exact contract on
+    # wide sub-gate levels
     steps = jnp.arange(257, dtype=jnp.float32) / 256.0
     edges = lo[..., None] + span[..., None] * steps
     centers = (edges[..., :-1] + edges[..., 1:]) / 2.0

@@ -99,10 +99,24 @@ def test_interop_matrix(shuffle, n, ts):
         assert blosc.decompress(sys_frame) == data
 
 
+def test_non_contiguous_ndarray_input():
+    """Transposed/strided views must round-trip through BOTH backends —
+    np.frombuffer rejects non-C-contiguous exports, so the codec has to
+    normalize before framing (regression: the native-failure fallback used
+    to hand the raw view to compress_py)."""
+    arr = np.arange(4096, dtype=np.uint16).reshape(64, 64).T  # F-ordered view
+    assert not arr.flags.c_contiguous
+    expect = np.ascontiguousarray(arr).tobytes()
+    assert blosc.decompress(blosc.compress(arr, typesize=2)) == expect
+    assert blosc.decompress_py(blosc.compress_py(arr, typesize=2)) == expect
+
+
 def test_default_backend_roundtrip():
     data = payloads()["smooth"]
     frame = blosc.compress(data, typesize=2)
     assert blosc.decompress(frame) == data
+    if blosc.load_system_blosc() is not None:
+        assert blosc.system_decompress(frame, len(data)) == data
 
 
 @pytest.mark.parametrize("clevel", [5, 9])
@@ -118,8 +132,6 @@ def test_deep_clevel_tier_interop(clevel):
     assert blosc.decompress(frame) == data
     shallow = blosc.compress(data, typesize=2, clevel=3)
     assert len(frame) <= len(shallow) * 1.02  # deeper never much worse
-    if blosc.load_system_blosc() is not None:
-        assert blosc.system_decompress(frame, len(data)) == data
     if blosc.load_system_blosc() is not None:
         assert blosc.system_decompress(frame, len(data)) == data
 
