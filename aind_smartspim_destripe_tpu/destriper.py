@@ -48,9 +48,13 @@ def read_filter_save(
     compression: Optional[int] = 1,
     output_format: Optional[str] = None,
     output_dtype: Optional[type] = None,
+    dual_band: Optional[dict] = None,
 ):
     """Read one image, destripe, save (reference destriper.py:113-215):
-    3 read attempts then log-and-skip; 10 write retries on OSError."""
+    3 read attempts then log-and-skip; 10 write retries on OSError.
+
+    ``dual_band``: optional dict (``crossover`` / ``threshold`` keys) —
+    blend both filter configs per pixel instead of classifier dispatch."""
     raw_image = None
     for attempt in range(3):
         try:
@@ -74,6 +78,7 @@ def read_filter_save(
         no_cells_config=low_int_filter_params,
         cells_config=high_int_filter_params,
         shadow_correction=shadow_correction,
+        dual_band=dual_band,
     )
 
     for _ in range(10):
@@ -139,12 +144,17 @@ def batch_filter(
     compression: Optional[int] = 1,
     output_format: Optional[str] = None,
     output_dtype: Optional[type] = None,
+    dual_band: Optional[dict] = None,
 ):
     """Destripe a directory tree of images (reference destriper.py:267-378).
 
     Device-batched: images are grouped by (shape, dtype); each group runs
     through one compiled destripe kernel in batches, overlapped with
     threaded file IO.
+
+    ``dual_band``: optional dict (``crossover`` / ``threshold`` keys) —
+    blend both filter configs per pixel (high_int = foreground band,
+    low_int = background) instead of the per-plane classifier dispatch.
     """
     input_path = Path(input_path)
     output_path = Path(output_path)
@@ -202,7 +212,18 @@ def batch_filter(
         if plan is None:
             plan = plans[shape] = build_plan(shape[0], shape[1], cells_cfg, no_cells_cfg)
         imgs = np.stack([im for _, im in items]).astype(np.float32)
-        filtered = np.asarray(destripe_batch(plan, imgs, 2700.0))
+        if dual_band is not None:
+            from .ops.dual_band import dual_band_destripe_configs
+
+            filtered = dual_band_destripe_configs(
+                imgs,
+                high_int_filt_params or {},
+                low_int_filt_params or {},
+                crossover=float(dual_band.get("crossover", 100.0)),
+                threshold=float(dual_band.get("threshold", -1.0)),
+            )
+        else:
+            filtered = np.asarray(destripe_batch(plan, imgs, 2700.0))
 
         for (p, img), plane in zip(items, filtered):
             out_img = plane

@@ -123,17 +123,34 @@ def filter_stripes(
     cells_config: dict = None,
     shadow_correction: Optional[dict] = None,
     microscope_high_int: Optional[int] = 2700,
+    dual_band: Optional[dict] = None,
 ) -> np.ndarray:
     """Classify a plane (cells / no-cells), destripe with the matching
-    config, optionally shadow-correct (reference filtering.py:417-491)."""
+    config, optionally shadow-correct (reference filtering.py:417-491).
+
+    ``dual_band``: pass a dict (``{}`` for defaults, optionally with
+    ``crossover`` / ``threshold``) to skip the classifier and blend BOTH
+    configs per pixel instead (the dual-band mode, ops/dual_band.py):
+    cells_config filters the foreground, no_cells_config the background."""
     no_cells_config = no_cells_config or {}
     cells_config = cells_config or {}
 
-    fore_mean, back_mean, _ = get_foreground_background_mean(image)
-    if fore_mean > back_mean and fore_mean > microscope_high_int:
-        filtered_image = log_space_fft_filtering(input_image=image, **cells_config)
+    if dual_band is not None:
+        from .ops.dual_band import dual_band_destripe_configs
+
+        filtered_image = dual_band_destripe_configs(
+            image,
+            cells_config,
+            no_cells_config,
+            crossover=float(dual_band.get("crossover", 100.0)),
+            threshold=float(dual_band.get("threshold", -1.0)),
+        )
     else:
-        filtered_image = log_space_fft_filtering(input_image=image, **no_cells_config)
+        fore_mean, back_mean, _ = get_foreground_background_mean(image)
+        if fore_mean > back_mean and fore_mean > microscope_high_int:
+            filtered_image = log_space_fft_filtering(input_image=image, **cells_config)
+        else:
+            filtered_image = log_space_fft_filtering(input_image=image, **no_cells_config)
 
     if shadow_correction is not None:
         retrospective = shadow_correction.get("retrospective")

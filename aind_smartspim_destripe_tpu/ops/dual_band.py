@@ -31,7 +31,11 @@ from . import pallas_blend, pallas_env
 from .filter import FilterConfig, build_plan, destripe_batch, device_constants
 from .otsu import threshold_otsu_batch
 
-__all__ = ["dual_band_destripe_batch", "dual_band_filtering"]
+__all__ = [
+    "dual_band_destripe_batch",
+    "dual_band_filtering",
+    "dual_band_destripe_configs",
+]
 
 
 def _smooth(img: jax.Array, radius: int = 8) -> jax.Array:
@@ -133,6 +137,53 @@ def _jitted_dual(plan, images, threshold, consts, crossover=100.0,
     return dual_band_destripe_batch(
         plan, images, crossover, threshold, smooth_radius, consts
     )
+
+
+@lru_cache(maxsize=8)
+def _plan_from_config_items(h, w, cells_items, no_cells_items):
+    return build_plan(
+        h, w,
+        FilterConfig.from_dict(dict(cells_items)),
+        FilterConfig.from_dict(dict(no_cells_items)),
+    )
+
+
+def dual_band_destripe_configs(
+    images: np.ndarray,
+    cells_config: dict,
+    no_cells_config: dict,
+    crossover: float = 100.0,
+    threshold: float = -1.0,
+) -> np.ndarray:
+    """Dual-band destripe from the orchestrators' config-dict pair.
+
+    ``cells_config`` is the foreground band (gentle sigma, applied to bright
+    structure), ``no_cells_config`` the background band — the same dicts the
+    single-band classifier paths take (zarr_destriper/destriper parameters),
+    so production configs switch modes without reshaping. Both must share
+    wavelet and level (enforced by :func:`..ops.filter.build_plan`).
+    One plane or a (B, H, W) batch; float32 out.
+    """
+    img = np.asarray(images)
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[None]
+    h, w = img.shape[-2:]
+    plan = _plan_from_config_items(
+        h, w,
+        tuple(sorted((cells_config or {}).items())),
+        tuple(sorted((no_cells_config or {}).items())),
+    )
+    out = np.asarray(
+        _jitted_dual(
+            plan,
+            jnp.asarray(img.astype(np.float32)),
+            float(threshold),
+            device_constants(plan),
+            crossover=float(crossover),
+        )
+    )
+    return out[0] if squeeze else out
 
 
 def dual_band_filtering(

@@ -72,13 +72,21 @@ class PipelineStats:
 
 
 def make_device_step(plan: DestripePlan, microscope_high_int: float,
-                     with_flatfield: bool, devices=None):
+                     with_flatfield: bool, devices=None, dual: bool = False,
+                     crossover: float = 100.0, dual_threshold: float = -1.0):
     """Jitted (batch,H,W) uint16 -> uint16 device step: destripe then (when
     flats are provided) shadow-correct; otherwise a zarr-style wrap cast,
     matching the reference's float write into a uint16 store
     (zarr_destriper.py:336). The operator matrices live on device and enter
     the kernel as arguments (baking them into the graph as literals stalls
     the XLA compiler).
+
+    ``dual=True`` replaces the classifier dispatch with the dual-band blend
+    (BASELINE config 2, ops/dual_band.py): every plane gets BOTH of the
+    plan's configs from one shared wavelet decomposition, blended per pixel
+    by the smoothed sigmoid foreground fraction (``crossover`` width,
+    ``dual_threshold`` center; < 0 = per-plane Otsu). The flat-field / wrap
+    epilogue then applies to the blended plane.
 
     ``devices``: the accelerators to spread each batch over. With more than
     one, a 1-D ``z`` mesh shards the plane axis — the TPU equivalent of the
@@ -95,6 +103,22 @@ def make_device_step(plan: DestripePlan, microscope_high_int: float,
     n_dev = max(1, len(devices))
 
     def local_step(images, flat, dark, consts):
+        if dual:
+            # Dual-band: blend first (both bands from one decomposition),
+            # then the epilogue on the blended float plane — the fused
+            # in-kernel epilogues below assume the single-band synthesis.
+            from ..ops.dual_band import dual_band_destripe_batch
+
+            blended = dual_band_destripe_batch(
+                plan, images, crossover, dual_threshold, consts=consts
+            )
+            if with_flatfield:
+                from ..ops.flatfield import flatfield_correction
+
+                return flatfield_correction(blended, flat, dark)
+            return jnp.mod(
+                jnp.trunc(blended).astype(jnp.int32), 65536
+            ).astype(jnp.uint16)
         # Epilogues fuse into the destripe kernel (on the Pallas band path
         # they run inside the final synthesis program — one less full-image
         # HBM round trip): flat-field correction when flats are provided,
@@ -206,6 +230,9 @@ class StreamingDestriper:
         logger: Optional[logging.Logger] = None,
         journal: bool = True,
         devices=None,
+        dual: bool = False,
+        crossover: float = 100.0,
+        dual_threshold: float = -1.0,
     ):
         self.inp = input_array
         self.out = output_array
@@ -255,7 +282,8 @@ class StreamingDestriper:
             if dark.shape[-2:] != (h, w):
                 dark = np.broadcast_to(dark, (h, w)).copy()
         self._step = make_device_step(
-            plan, microscope_high_int, self.with_flat, devices=self.devices
+            plan, microscope_high_int, self.with_flat, devices=self.devices,
+            dual=dual, crossover=crossover, dual_threshold=dual_threshold,
         )
         self._flat = self._step.put_const(flat)
         self._dark = self._step.put_const(dark)
@@ -267,6 +295,11 @@ class StreamingDestriper:
             "no_cells": str(plan.no_cells),
             "high_int": microscope_high_int,
             "with_flat": self.with_flat,
+            # mode change invalidates the resume journal: a dual-band slab
+            # is not interchangeable with a classifier-dispatched one
+            "dual": bool(dual),
+            "crossover": float(crossover) if dual else None,
+            "dual_threshold": float(dual_threshold) if dual else None,
         }
         self.journal = (
             _Journal(

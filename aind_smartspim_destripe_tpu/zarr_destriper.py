@@ -340,9 +340,21 @@ def destripe_zarr(
     ``devices``: accelerators the pipeline shards each batch over (None ->
     every local chip; the multi-chip analog of the reference's ``co_cpus``
     consumer pool, zarr_destriper.py:1136-1172).
+
+    ``parameters`` extras beyond the reference's cells/no_cells configs:
+    ``dual_band`` (bool, default False) switches from the per-plane
+    classifier to the dual-band per-pixel blend (BASELINE config 2;
+    ops/dual_band.py) with optional ``crossover`` (sigmoid width, 100.0)
+    and ``dual_threshold`` (center; < 0 = per-plane Otsu).
     """
     no_cells_config = parameters["no_cells_config"]
     cells_config = parameters["cells_config"]
+    # Dual-band mode (BASELINE config 2): blend both configs per pixel
+    # instead of the per-plane classifier dispatch. cells_config = the
+    # foreground band (gentle sigma), no_cells_config = background.
+    dual_band = bool(parameters.get("dual_band", False))
+    dual_crossover = float(parameters.get("crossover", 100.0))
+    dual_threshold = float(parameters.get("dual_threshold", -1.0))
 
     co_cpus = int(utils.get_code_ocean_cpu_limit())
     if n_workers > co_cpus:
@@ -469,6 +481,9 @@ def destripe_zarr(
             io_threads=n_workers or 0,
             logger=logger,
             devices=devices,
+            dual=dual_band,
+            crossover=dual_crossover,
+            dual_threshold=dual_threshold,
         )
         with device_trace(os.environ.get("DESTRIPE_TRACE_DIR")):
             stats = pipe.run()
