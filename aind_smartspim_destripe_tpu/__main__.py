@@ -43,6 +43,11 @@ def main(argv=None):
             low_int_filt_params=PRODUCTION_PARAMETERS["no_cells_config"],
             shadow_correction=None,
             output_format=params.output_format,
+            dual_band=(
+                {"crossover": params.crossover,
+                 "threshold": params.dual_threshold}
+                if params.dual_band else None
+            ),
         )
     else:
         print(f"unknown mode {mode!r}; use 'capsule' or 'batch'", file=sys.stderr)

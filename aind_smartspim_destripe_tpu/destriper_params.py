@@ -24,6 +24,10 @@ class DestripingParams:
     workers: int = 16
     chunks: int = 1
     output_format: Optional[str] = None
+    # extras beyond the reference schema: dual-band blend mode
+    dual_band: bool = False
+    crossover: float = 100.0
+    dual_threshold: float = -1.0
 
     def validate(self) -> "DestripingParams":
         if not Path(self.input_path).is_dir():
@@ -49,6 +53,13 @@ class DestripingParams:
                        help="Images per device batch")
         p.add_argument("--output_format", default=None,
                        help="Output extension (.tiff/.tif/.png)")
+        p.add_argument("--dual_band", action="store_true",
+                       help="Blend both filter configs per pixel instead of "
+                            "the per-plane classifier (dual-band mode)")
+        p.add_argument("--crossover", type=float, default=100.0,
+                       help="Dual-band sigmoid width")
+        p.add_argument("--dual_threshold", type=float, default=-1.0,
+                       help="Dual-band sigmoid center; < 0 = per-plane Otsu")
         return p
 
     @classmethod

@@ -130,6 +130,12 @@ def test_destriper_params_cli():
         ["--input_path", "/tmp", "--output_path", "/tmp/out", "--workers", "4"]
     )
     assert p.workers == 4 and p.chunks == 1 and p.output_format is None
+    assert p.dual_band is False and p.crossover == 100.0
+    p2 = DestripingParams.from_args(
+        ["--input_path", "/tmp", "--output_path", "/tmp/out",
+         "--dual_band", "--crossover", "80", "--dual_threshold", "350"]
+    )
+    assert p2.dual_band and p2.crossover == 80.0 and p2.dual_threshold == 350.0
     with pytest.raises(ValueError):
         DestripingParams("/nonexistent-dir", "/tmp").validate()
 
