@@ -149,6 +149,19 @@ def run(
             "output_path": str(results_folder),
             **PRODUCTION_PARAMETERS,
         }
+        # Opt-in dual-band capsule runs without editing code: the reference
+        # hardcodes its production parameters (run_capsule.py:377-388); env
+        # vars are this framework's knob convention (README env table).
+        if os.environ.get("DESTRIPE_DUAL_BAND", "") not in ("", "0"):
+            parameters["dual_band"] = True
+            if os.environ.get("DESTRIPE_DUAL_CROSSOVER"):
+                parameters["crossover"] = float(
+                    os.environ["DESTRIPE_DUAL_CROSSOVER"]
+                )
+            if os.environ.get("DESTRIPE_DUAL_THRESHOLD"):
+                parameters["dual_threshold"] = float(
+                    os.environ["DESTRIPE_DUAL_THRESHOLD"]
+                )
 
         destriping_start_time = time()
         zarr_destriper.destripe_channel(

@@ -102,3 +102,29 @@ def test_run_capsule_end_to_end(tmp_path):
     doc = json.load(open(prov))
     names = [p["name"] for p in doc["processing_pipeline"]["data_processes"]]
     assert names == ["Image destriping", "Image flat-field correction"]
+
+
+def test_run_capsule_dual_band_env(tmp_path, monkeypatch):
+    """DESTRIPE_DUAL_BAND=1 routes the capsule's parameters into the
+    dual-band mode (with the optional crossover/threshold overrides)."""
+    data, results = build_capsule(tmp_path)
+    captured = {}
+
+    def fake_destripe_channel(parameters, **kw):
+        captured.update(parameters)
+        return {}
+
+    monkeypatch.setattr(
+        run_capsule.zarr_destriper, "destripe_channel",
+        lambda **kw: fake_destripe_channel(**kw),
+    )
+    monkeypatch.setenv("DESTRIPE_DUAL_BAND", "1")
+    monkeypatch.setenv("DESTRIPE_DUAL_CROSSOVER", "85.5")
+    run_capsule.run(
+        data_folder=str(data),
+        results_folder=str(results),
+        scratch_folder=str(tmp_path / "scratch"),
+    )
+    assert captured["dual_band"] is True
+    assert captured["crossover"] == 85.5
+    assert "dual_threshold" not in captured  # unset env leaves the default
