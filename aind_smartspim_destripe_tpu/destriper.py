@@ -208,11 +208,10 @@ def batch_filter(
     write_futures = deque()
 
     def process_batch(shape, items):
-        plan = plans.get(shape)
-        if plan is None:
-            plan = plans[shape] = build_plan(shape[0], shape[1], cells_cfg, no_cells_cfg)
         imgs = np.stack([im for _, im in items]).astype(np.float32)
         if dual_band is not None:
+            # the dual wrapper caches its own plan per geometry (and
+            # validates the configs share wavelet/level)
             from .ops.dual_band import dual_band_destripe_configs
 
             filtered = dual_band_destripe_configs(
@@ -223,6 +222,11 @@ def batch_filter(
                 threshold=float(dual_band.get("threshold", -1.0)),
             )
         else:
+            plan = plans.get(shape)
+            if plan is None:
+                plan = plans[shape] = build_plan(
+                    shape[0], shape[1], cells_cfg, no_cells_cfg
+                )
             filtered = np.asarray(destripe_batch(plan, imgs, 2700.0))
 
         for (p, img), plane in zip(items, filtered):
