@@ -87,13 +87,20 @@ def test_pallas_blend_matches_xla_chain():
     sm = _smooth(frac, pallas_blend.RADIUS)
     ref = np.asarray(fore * sm + back * (1.0 - sm))
 
-    got = np.asarray(
-        pallas_blend.blend_smooth_mix(
-            jnp.asarray(x), jnp.asarray(fore), jnp.asarray(back),
-            jnp.asarray(centers), 100.0, interpret=True,
+    # every rows_tile the on-chip sweep (benchmarks/kernel_sweep.py blend)
+    # may adopt must be parity-clean, including values that do not divide H
+    for rows_tile in (32, 48, 64, 96):
+        got = np.asarray(
+            pallas_blend.blend_smooth_mix(
+                jnp.asarray(x), jnp.asarray(fore), jnp.asarray(back),
+                jnp.asarray(centers), 100.0, rows_tile=rows_tile,
+                interpret=True,
+            )
         )
-    )
-    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-2)
+        np.testing.assert_allclose(
+            got, ref, rtol=2e-5, atol=2e-2,
+            err_msg=f"rows_tile={rows_tile}",
+        )
 
 
 def test_dual_band_fused_blend_wiring(monkeypatch):

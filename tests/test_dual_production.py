@@ -108,6 +108,14 @@ def test_device_step_dual_multichip_identity():
     _assert_lsb(out, _expected(vol))
 
 
+def test_dual_configs_must_share_wavelet_level():
+    img = _vol(1)[0]
+    with pytest.raises(NotImplementedError):
+        db.dual_band_destripe_configs(
+            img, {"wavelet": "db2", "sigma": 64}, {"wavelet": "db3", "sigma": 128}
+        )
+
+
 def test_filter_stripes_dual_facade():
     img = _vol(1)[0]
     out = filtering.filter_stripes(
