@@ -1,0 +1,20 @@
+#!/bin/bash
+# On-chip measurement queue for TPU-tunnel recovery (ROADMAP round-3
+# session 4). Run from the repo root; logs to /tmp/onchip_queue.log.
+# Each step is bounded; a dead tunnel makes bench.py fail fast (device
+# probe), so this script is safe to fire blind.
+set -x
+cd "$(dirname "$0")/.."
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_axon_cache}
+{
+  echo "=== onchip queue start $(date -u) ==="
+  # 1. headline re-confirm (also proves the tunnel is actually up)
+  timeout 1500 python bench.py || exit 1
+  # 2. deep-pack A/B (mask-free rewrite vs off) -> decide _DEEP_PACK default
+  timeout 1800 python benchmarks/kernel_sweep.py deeppack
+  # 3. blend rows_tile sweep (dual step)
+  timeout 1800 python benchmarks/kernel_sweep.py blend
+  # 4. BASELINE config 2 re-measure
+  timeout 1500 python benchmarks/run_configs.py 2
+  echo "=== onchip queue done $(date -u) ==="
+} >> /tmp/onchip_queue.log 2>&1
