@@ -14,7 +14,9 @@ the device-resident kernel floor is bench.py's number. The point of this
 record is the honest shape of the sustained loop: where read/compute/write
 sit, that read prefetch overlaps, and that no per-slab cost grows with Z.
 
-Usage: python benchmarks/steady_state.py [z_planes]
+Usage: python benchmarks/steady_state.py [z_planes] [dual]
+(`dual` appends parameters["dual_band"]=True — the dual-band production
+route through the same streaming loop.)
 """
 
 import json
@@ -28,7 +30,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def main(z=384, h=1600, w=2000):
+def main(z=384, h=1600, w=2000, dual=False):
     from aind_smartspim_destripe_tpu import zarr_destriper as zd
     from aind_smartspim_destripe_tpu.io.zarr import group
 
@@ -38,6 +40,8 @@ def main(z=384, h=1600, w=2000):
         "cells_config": {"wavelet": "db3", "level": None, "sigma": 64,
                          "max_threshold": 3},
     }
+    if dual:
+        params["dual_band"] = True
     tmp = pathlib.Path(tempfile.mkdtemp(prefix="steady_"))
     rng = np.random.default_rng(0)
 
@@ -96,7 +100,8 @@ def main(z=384, h=1600, w=2000):
         sum(c for *_x, c in steady) / len(steady) if steady else float("nan")
     )
     print(json.dumps({
-        "metric": "steady_state_multislab_onchip",
+        "metric": "steady_state_multislab_onchip"
+                  + ("_dual" if dual else ""),
         "z_planes": z,
         "slabs": stats.slabs,
         "wall_s": round(wall, 1),
@@ -113,4 +118,5 @@ def main(z=384, h=1600, w=2000):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 384)
+    _nums = [a for a in sys.argv[1:] if a.isdigit()]
+    main(int(_nums[0]) if _nums else 384, dual="dual" in sys.argv[1:])
