@@ -36,10 +36,22 @@ def test_dual_band_batch_and_fixed_threshold():
     assert np.isfinite(out).all()
 
 
-def test_dual_shared_decomposition_matches_two_single_runs():
+import pytest
+
+
+@pytest.mark.parametrize(
+    "h,w",
+    [
+        (96, 128),  # lane-aligned
+        (130, 258),  # odd extents, non-multiple-of-8 rows
+        (67, 310),  # tall-narrow wavelet ladder, ragged last level
+    ],
+)
+def test_dual_shared_decomposition_matches_two_single_runs(h, w):
     """destripe_batch(dual=True) — one analysis, two notch/synthesis bands —
     must reproduce two independent single-band runs (up to f32 batch-extent
-    vectorization jitter; the algorithms are identical per plane)."""
+    vectorization jitter; the algorithms are identical per plane). Odd
+    geometries exercise the wrapped dual block indexing at ragged ladders."""
     import jax.numpy as jnp
 
     from aind_smartspim_destripe_tpu.ops.filter import (
@@ -48,7 +60,6 @@ def test_dual_shared_decomposition_matches_two_single_runs():
         destripe_batch,
     )
 
-    h, w = 96, 128
     imgs = np.stack(
         [synthetic_plane(h, w, seed=s) for s in range(3)]
     ).astype(np.float32)
