@@ -9,16 +9,23 @@ Three backends, in preference order:
 2. a pure-Python/numpy + `zstandard` implementation of the same frame format,
 3. system libblosc (ctypes), used in tests as an interop oracle.
 
-Frame format implemented (c-blosc 1.x, zstd path — zstd blocks are never
-"split" into per-byte streams, unlike blosclz/lz4):
+Frame format implemented (c-blosc 1.x; encode is zstd-only like the
+reference store, decode also covers foreign zstd/zlib/lz4/lz4hc frames —
+lz4 is zarr-python's DEFAULT compressor, so input tiles written by generic
+zarr tooling decode here without numcodecs):
 
   header[16]: version(1B)=2, versionlz(1B)=1, flags(1B), typesize(1B),
               nbytes(u32le), blocksize(u32le), cbytes(u32le)
   flags: 0x01 byte-shuffle | 0x02 memcpyed | 0x04 bit-shuffle,
+         0x10 blocks are NOT split (c-blosc >= 1.14 writes it for zstd),
          compressor code in bits 5-7 (zstd=4, zlib=3, lz4=1, blosclz=0)
   then (unless memcpyed): int32le block offsets (from frame start), then per
   block: [int32le csize][codec stream]; csize == uncompressed block length
-  means the block is stored raw. Shuffle is applied per block.
+  means the block is stored raw. Shuffle is applied per block. When flag
+  0x10 is CLEAR (lz4/blosclz writers), each full block is "split" into
+  `typesize` independent [csize][stream] sub-streams (conditions mirrored
+  from c-blosc's blosc_d: typesize <= 16, blocksize/typesize >= 128, not
+  the ragged final block).
 """
 
 from __future__ import annotations
@@ -76,30 +83,56 @@ def byte_unshuffle(data: bytes, typesize: int) -> bytes:
     return out.tobytes()
 
 
-def bit_shuffle(data: bytes, typesize: int) -> bytes:
-    """c-blosc bitshuffle of one block: a full bit-plane transpose (bit b of
-    every element grouped, LSB-first packing) — but only when the block holds
-    a whole number of 8-element groups. c-blosc's shuffle.c passes any block
-    with ``len % (typesize*8) != 0`` through UNCHANGED (verified empirically
-    against libblosc with crafted raw-stored frames), so we must too."""
-    buf = np.frombuffer(data, dtype=np.uint8)
-    n = buf.size
-    if typesize < 1 or n % (typesize * 8) != 0:
-        return bytes(data)
+def _bitshuffle_extent(n: int, typesize: int) -> int:
+    """Bytes of a block c-blosc's bitshuffle actually bit-transposes.
+
+    c-blosc 1.x shuffle.c: the transpose runs iff the block's whole-element
+    count (``n // typesize``) is a multiple of 8 (any typesize — 1.21's
+    bshuf handles non-power-of-two sizes too); then the sub-element tail
+    (``n % typesize`` bytes, only possible on the ragged final block) is
+    memcpy'd behind it. Any other block passes through raw. Round 1's
+    "all-or-nothing on n % (ts*8)" matched every aligned case but
+    mis-handled ragged FINAL blocks whose element count is still a multiple
+    of 8 (e.g. ts=8, 82503-byte leftover = 10312 elements + 7 tail bytes —
+    c-blosc transposes 82496 and copies 7); verified against libblosc 1.21
+    frames both ways."""
+    if typesize < 1:
+        return 0
     nelem = n // typesize
-    bits = np.unpackbits(buf.reshape(nelem, typesize), axis=None, bitorder="little")
+    if nelem == 0 or nelem % 8 != 0:
+        return 0
+    return nelem * typesize
+
+
+def bit_shuffle(data: bytes, typesize: int) -> bytes:
+    buf = np.frombuffer(data, dtype=np.uint8)
+    aligned = _bitshuffle_extent(buf.size, typesize)
+    if aligned == 0:
+        return bytes(data)
+    nelem = aligned // typesize
+    bits = np.unpackbits(
+        buf[:aligned].reshape(nelem, typesize), axis=None, bitorder="little"
+    )
     bits = bits.reshape(nelem, typesize * 8).T
-    return np.packbits(bits, bitorder="little").tobytes()
+    return (
+        np.packbits(bits, bitorder="little").tobytes()
+        + buf[aligned:].tobytes()
+    )
 
 
 def bit_unshuffle(data: bytes, typesize: int) -> bytes:
     buf = np.frombuffer(data, dtype=np.uint8)
-    n = buf.size
-    if typesize < 1 or n % (typesize * 8) != 0:
+    aligned = _bitshuffle_extent(buf.size, typesize)
+    if aligned == 0:
         return bytes(data)
-    nelem = n // typesize
-    bits = np.unpackbits(buf, bitorder="little").reshape(typesize * 8, nelem).T
-    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+    nelem = aligned // typesize
+    bits = np.unpackbits(buf[:aligned], bitorder="little").reshape(
+        typesize * 8, nelem
+    ).T
+    return (
+        np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+        + buf[aligned:].tobytes()
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -188,6 +221,60 @@ def compress_py(
     return header + struct.pack(f"<{nblocks}i", *offsets) + b"".join(blocks)
 
 
+def _lz4_block_decompress(src: bytes, dlen: int) -> bytes:
+    """Decode one raw LZ4 block (the stable public block format shared by
+    lz4 and lz4hc — compression level changes only the encoder's search).
+    Pure-python fallback; the native runtime carries the fast path."""
+    try:
+        return _lz4_block_decompress_inner(src, dlen)
+    except IndexError:
+        raise ValueError("truncated lz4 block") from None
+
+
+def _lz4_block_decompress_inner(src: bytes, dlen: int) -> bytes:
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        if i + lit > n:
+            raise ValueError("lz4 literal run past end of block")
+        out += src[i : i + lit]
+        i += lit
+        if i >= n:
+            break  # final literals-only sequence
+        off = src[i] | (src[i + 1] << 8)
+        i += 2
+        if off == 0 or off > len(out):
+            raise ValueError("lz4 match offset out of range")
+        mlen = token & 0x0F
+        if mlen == 15:
+            while True:
+                b = src[i]
+                i += 1
+                mlen += b
+                if b != 255:
+                    break
+        mlen += 4
+        start = len(out) - off
+        if off >= mlen:
+            out += out[start : start + mlen]
+        else:  # overlapping match: byte-serial self-reference
+            for k in range(mlen):
+                out.append(out[start + k])
+    if len(out) != dlen:
+        raise ValueError(f"lz4 block decoded {len(out)} bytes, expected {dlen}")
+    return bytes(out)
+
+
 def decompress_py(frame: bytes | memoryview) -> bytes:
     frame = bytes(frame)
     if len(frame) < 16:
@@ -207,17 +294,37 @@ def decompress_py(frame: bytes | memoryview) -> bytes:
         import zlib
 
         decomp = lambda b, hint: zlib.decompress(b)
+    elif code == 1:
+        decomp = _lz4_block_decompress
     else:
         raise NotImplementedError(f"blosc inner codec {code} not supported")
 
+    # c-blosc splits each full block of an lz4/blosclz frame into `typesize`
+    # independently-coded sub-streams; >=1.14 advertises non-split with flag
+    # 0x10 (blosc_d's exact conditions mirrored below)
+    may_split = (
+        not (flags & 0x10)
+        and 1 < typesize <= 16
+        and blocksize % typesize == 0
+        and blocksize // typesize >= 128
+    )
     nblocks = max(1, -(-nbytes // blocksize)) if blocksize else 1
     offsets = struct.unpack(f"<{nblocks}i", frame[16 : 16 + 4 * nblocks])
     out = bytearray()
     for b, off in enumerate(offsets):
         neblock = min(blocksize, nbytes - b * blocksize)
-        (csize,) = struct.unpack("<i", frame[off : off + 4])
-        payload = frame[off + 4 : off + 4 + csize]
-        seg = bytes(payload) if csize == neblock else decomp(payload, neblock)
+        nsplits = typesize if (may_split and neblock == blocksize) else 1
+        ssize = neblock // nsplits
+        parts = []
+        p = off
+        for _j in range(nsplits):
+            (csize,) = struct.unpack("<i", frame[p : p + 4])
+            payload = frame[p + 4 : p + 4 + csize]
+            p += 4 + csize
+            parts.append(
+                bytes(payload) if csize == ssize else decomp(payload, ssize)
+            )
+        seg = b"".join(parts)
         if flags & 0x01:
             seg = byte_unshuffle(seg, typesize)
         elif flags & 0x04:
@@ -355,7 +462,7 @@ def decompress_batch(frames: list) -> list:
         return [decompress_py(f) for f in frames_b]
     nbytes = [struct.unpack("<I", f[4:8])[0] for f in frames_b]
     codes = [(f[2] >> 5) & 0x07 for f in frames_b]
-    native_ok = [c in (0, 4) or (f[2] & 0x02) for c, f in zip(codes, frames_b)]
+    native_ok = [c in (1, 4) or (f[2] & 0x02) for c, f in zip(codes, frames_b)]
     n = len(frames_b)
     caps = [max(m, 1) for m in nbytes]
     offs = np.concatenate([[0], np.cumsum(caps)])
@@ -428,7 +535,7 @@ def decompress(frame) -> bytes:
         frame_b = bytes(frame)
         nbytes = struct.unpack("<I", frame_b[4:8])[0]
         code = (frame_b[2] >> 5) & 0x07
-        if code in (0, 4) or frame_b[2] & 0x02:
+        if code in (1, 4) or frame_b[2] & 0x02:
             dst = np.empty(max(nbytes, 1), np.uint8)
             n = lib.blosc1_decompress(
                 frame_b, len(frame_b), ctypes.c_char_p(dst.ctypes.data),

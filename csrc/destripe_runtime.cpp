@@ -191,8 +191,24 @@ inline uint64_t trans_bit_8x8(uint64_t x) {
 // element grouped, LSB-first) — but ONLY when the block is a whole number of
 // 8-element groups; c-blosc's shuffle.c passes unaligned blocks through
 // unchanged (verified against libblosc with crafted raw-stored frames).
+// Bytes of a block c-blosc's bitshuffle actually bit-transposes: iff the
+// whole-element count (n/ts) is a multiple of 8 (any typesize), the
+// transpose covers those elements and the sub-element tail (n % ts bytes,
+// ragged final block only) is memcpy'd raw behind it; otherwise the whole
+// block passes through raw (c-blosc 1.x shuffle.c, verified against
+// libblosc 1.21 frames both ways).
+static size_t bitshuffle_extent(size_t n, size_t ts) {
+  if (ts < 1) return 0;
+  const size_t nelem = n / ts;
+  if (nelem == 0 || nelem % 8 != 0) return 0;
+  return nelem * ts;
+}
+
 void bit_shuffle(const uint8_t* src, uint8_t* dst, size_t n, size_t ts) {
-  if (ts < 1 || n % (ts * 8) != 0) { std::memcpy(dst, src, n); return; }
+  const size_t aligned = bitshuffle_extent(n, ts);
+  if (aligned == 0) { std::memcpy(dst, src, n); return; }
+  if (aligned < n) std::memcpy(dst + aligned, src + aligned, n - aligned);
+  n = aligned;
   const size_t ngroups = n / (ts * 8);
   for (size_t g = 0; g < ngroups; ++g) {
     const uint8_t* base = src + g * 8 * ts;
@@ -210,7 +226,10 @@ void bit_shuffle(const uint8_t* src, uint8_t* dst, size_t n, size_t ts) {
 }
 
 void bit_unshuffle(const uint8_t* src, uint8_t* dst, size_t n, size_t ts) {
-  if (ts < 1 || n % (ts * 8) != 0) { std::memcpy(dst, src, n); return; }
+  const size_t aligned = bitshuffle_extent(n, ts);
+  if (aligned == 0) { std::memcpy(dst, src, n); return; }
+  if (aligned < n) std::memcpy(dst + aligned, src + aligned, n - aligned);
+  n = aligned;
   const size_t ngroups = n / (ts * 8);
   for (size_t g = 0; g < ngroups; ++g) {
     uint8_t* base = dst + g * 8 * ts;
@@ -414,7 +433,57 @@ long long blosc1_compress(const char* src_, size_t nbytes, int typesize,
   return (long long)pos;
 }
 
-// Decode one blosc1 frame (zstd or memcpy; byte shuffle). Returns the number
+// Raw LZ4 block decode (the stable public block format, shared by lz4 and
+// lz4hc frames — compression level changes only the encoder's search).
+// Dependency-free so the runtime links against libzstd alone. Returns bytes
+// written or -1 on malformed input.
+static long long lz4_block_decompress(const uint8_t* src, size_t slen,
+                                      uint8_t* dst, size_t dcap) {
+  size_t ip = 0, op = 0;
+  while (ip < slen) {
+    const uint8_t token = src[ip++];
+    size_t lit = token >> 4;
+    if (lit == 15) {
+      uint8_t b;
+      do {
+        if (ip >= slen) return -1;
+        b = src[ip++];
+        lit += b;
+      } while (b == 255);
+    }
+    if (ip + lit > slen || op + lit > dcap) return -1;
+    std::memcpy(dst + op, src + ip, lit);
+    ip += lit;
+    op += lit;
+    if (ip >= slen) break;  // final sequence carries literals only
+    if (ip + 2 > slen) return -1;
+    const size_t off = src[ip] | (size_t(src[ip + 1]) << 8);
+    ip += 2;
+    if (off == 0 || off > op) return -1;
+    size_t mlen = token & 0x0F;
+    if (mlen == 15) {
+      uint8_t b;
+      do {
+        if (ip >= slen) return -1;
+        b = src[ip++];
+        mlen += b;
+      } while (b == 255);
+    }
+    mlen += 4;
+    if (op + mlen > dcap) return -1;
+    const uint8_t* m = dst + op - off;
+    if (off >= mlen) {
+      std::memcpy(dst + op, m, mlen);
+    } else {  // overlapping match: byte-serial self-reference
+      for (size_t k = 0; k < mlen; ++k) dst[op + k] = m[k];
+    }
+    op += mlen;
+  }
+  return (long long)op;
+}
+
+// Decode one blosc1 frame (zstd/lz4/lz4hc or memcpy; byte/bit shuffle; the
+// lz4 "split" sub-stream layout of c-blosc writers). Returns the number
 // of bytes written or negative on error.
 long long blosc1_decompress(const char* src_, size_t srclen, char* dst_,
                             size_t dstsize) {
@@ -433,11 +502,16 @@ long long blosc1_decompress(const char* src_, size_t srclen, char* dst_,
     return (long long)nbytes;
   }
   const int codec = (flags >> 5) & 0x7;
-  if (codec != 4) return -3;  // zstd only in the native path
+  if (codec != 4 && codec != 1) return -3;  // zstd + lz4/lz4hc decode
 
   const size_t nblocks = nbytes ? (nbytes + bs - 1) / bs : 1;
   if (srclen < kHeaderSize + 4 * nblocks) return -2;
 
+  // c-blosc lz4/blosclz writers "split" each full block into ts
+  // independently-coded sub-streams; >= 1.14 advertises non-split with
+  // flag 0x10 (blosc_d's exact conditions mirrored here)
+  const bool may_split = !(flags & 0x10) && ts > 1 && ts <= 16 &&
+                         bs % ts == 0 && bs / ts >= 128;
   const bool shuffled = (flags & 0x01) || (flags & 0x04);
   thread_local std::vector<uint8_t> work;
   if (shuffled && work.size() < bs) work.resize(bs);
@@ -445,17 +519,27 @@ long long blosc1_decompress(const char* src_, size_t srclen, char* dst_,
   for (size_t b = 0; b < nblocks; ++b) {
     const size_t out_off = b * bs;
     const size_t neblock = std::min(bs, nbytes - out_off);
-    const size_t boff = load_u32(src + kHeaderSize + 4 * b);
-    if (boff + 4 > srclen) return -2;
-    const size_t csize = load_u32(src + boff);
-    if (boff + 4 + csize > srclen) return -2;
     uint8_t* out = shuffled ? work.data() : dst + out_off;
-    if (csize == neblock) {
-      std::memcpy(out, src + boff + 4, neblock);
-    } else {
-      const size_t r =
-          ZSTD_decompressDCtx(dctx, out, neblock, src + boff + 4, csize);
-      if (ZSTD_isError(r) || r != neblock) return -4;
+    const size_t nsplits = (may_split && neblock == bs) ? ts : 1;
+    const size_t ssize = neblock / nsplits;
+    size_t p = load_u32(src + kHeaderSize + 4 * b);
+    for (size_t j = 0; j < nsplits; ++j) {
+      if (p + 4 > srclen) return -2;
+      const size_t csize = load_u32(src + p);
+      if (p + 4 + csize > srclen) return -2;
+      uint8_t* outj = out + j * ssize;
+      if (csize == ssize) {
+        std::memcpy(outj, src + p + 4, ssize);
+      } else if (codec == 4) {
+        const size_t r =
+            ZSTD_decompressDCtx(dctx, outj, ssize, src + p + 4, csize);
+        if (ZSTD_isError(r) || r != ssize) return -4;
+      } else {
+        const long long r =
+            lz4_block_decompress(src + p + 4, csize, outj, ssize);
+        if (r != (long long)ssize) return -4;
+      }
+      p += 4 + csize;
     }
     if (flags & 0x01) byte_unshuffle(work.data(), dst + out_off, neblock, ts);
     else if (flags & 0x04) bit_unshuffle(work.data(), dst + out_off, neblock, ts);

@@ -75,7 +75,14 @@ def test_we_decode_system_blosc_frames(shuffle):
 @pytest.mark.parametrize("shuffle", [blosc.NOSHUFFLE, blosc.SHUFFLE, blosc.BITSHUFFLE])
 @pytest.mark.parametrize(
     "n,ts",
-    [(8, 8), (17, 8), (100, 3), (999, 1), (1001, 2), (2**17, 2), (2**18 + 12, 2)],
+    [
+        (8, 8), (17, 8), (100, 3), (999, 1), (1001, 2), (2**17, 2),
+        (2**18 + 12, 2),
+        # ragged FINAL blocks >= one 8-element group: the bitshuffle extent
+        # rule (whole-element count % 8, sub-element tail memcpy'd) differs
+        # from round 1's all-or-nothing exactly here
+        (2**18 + 100, 2), (24_000, 3), (2**18 + 71, 8),
+    ],
 )
 def test_interop_matrix(shuffle, n, ts):
     """4-way interop at awkward sizes (ragged blocks, nelem % 8 != 0, frames
@@ -97,6 +104,68 @@ def test_interop_matrix(shuffle, n, ts):
         sys_frame = blosc.system_compress(data, typesize=ts, clevel=3, shuffle=shuffle)
         assert blosc.decompress_py(sys_frame) == data
         assert blosc.decompress(sys_frame) == data
+
+
+@pytest.mark.parametrize("cname", ["lz4", "lz4hc"])
+@pytest.mark.parametrize("shuffle", [blosc.NOSHUFFLE, blosc.SHUFFLE, blosc.BITSHUFFLE])
+@pytest.mark.parametrize("ts", [1, 2, 3, 8])
+def test_foreign_lz4_frames_decode(cname, shuffle, ts):
+    """Foreign blosc-lz4 frames (zarr-python's DEFAULT compressor) decode
+    through BOTH backends — including c-blosc's split sub-stream layout
+    (flag 0x10 clear: each full block is `typesize` independent streams)
+    and ragged final blocks. Encoded by real libblosc when present; the
+    layout/bitshuffle rules were pinned against libblosc 1.21."""
+    if blosc.load_system_blosc() is None:
+        pytest.skip("system c-blosc not available as the lz4 encoder")
+    rng = np.random.default_rng(ts * 7 + shuffle)
+    for n in (100, 100_000, 2**18 + 100, 10**6 + 7):
+        data = np.clip(
+            300 + rng.normal(size=n // 2 + 1) * 40, 0, 65535
+        ).astype(np.uint16).tobytes()[:n]
+        frame = blosc.system_compress(
+            data, typesize=ts, clevel=1, shuffle=shuffle, cname=cname
+        )
+        assert blosc.decompress_py(frame) == data
+        assert blosc.decompress(frame) == data
+
+
+def test_lz4_batch_decode_mixed_codecs():
+    """decompress_batch fans lz4 and zstd frames through the native path in
+    one call (the zarr read path for foreign input tiles)."""
+    if blosc.load_system_blosc() is None:
+        pytest.skip("system c-blosc not available as the lz4 encoder")
+    datas, frames = [], []
+    for i, cname in enumerate(("lz4", "zstd", "lz4hc", "lz4")):
+        d = np.arange(40000 + i, dtype=np.uint16).tobytes()
+        datas.append(d)
+        frames.append(blosc.system_compress(
+            d, typesize=2, clevel=1, shuffle=blosc.SHUFFLE, cname=cname
+        ))
+    got = blosc.decompress_batch(frames)
+    assert all(bytes(g) == d for g, d in zip(got, datas))
+
+
+def test_lz4_block_decoder_rejects_malformed():
+    with pytest.raises(ValueError):
+        blosc._lz4_block_decompress(b"\xf0", 100)  # literal run past end
+    with pytest.raises(ValueError):
+        # match offset beyond what has been decoded
+        blosc._lz4_block_decompress(b"\x10A\xff\x00", 100)
+
+
+def test_bitshuffle_ragged_final_block_roundtrip():
+    """Our own encoder+decoder agree on the corrected bitshuffle extent rule
+    (independent of system blosc): element count % 8 gates the transpose,
+    sub-element tails ride raw."""
+    rng = np.random.default_rng(5)
+    for ts, n in ((8, 82_503 + 2**18), (3, 24_000), (2, 2**18 + 100)):
+        data = rng.integers(0, 300, size=n // 2 + 1, dtype=np.uint16).tobytes()[:n]
+        for enc, dec in (
+            (blosc.compress_py, blosc.decompress_py),
+            (blosc.compress, blosc.decompress),
+        ):
+            frame = enc(data, typesize=ts, clevel=1, shuffle=blosc.BITSHUFFLE)
+            assert dec(frame) == data
 
 
 def test_non_contiguous_ndarray_input():
