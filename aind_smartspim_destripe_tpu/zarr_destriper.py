@@ -394,10 +394,15 @@ def destripe_zarr(
         output_zarr = None
         if "0" in new_channel_group:
             existing = new_channel_group["0"]
+            existing_comp = (existing.meta.get("compressor") or {}).get("cname")
             if (
                 tuple(existing.shape) == tuple(original_dataset_shape)
                 and tuple(existing.chunks) == tuple(out_chunks)
                 and existing.dtype == np.dtype(np.uint16)
+                # resume writes re-encode chunks: a foreign-codec store
+                # (e.g. lz4, which this codec decodes but does not encode)
+                # must start clean instead of failing mid-pipeline
+                and existing_comp == "zstd"
             ):
                 output_zarr = existing
                 logger.info("Reusing existing output zarr (resume mode)")

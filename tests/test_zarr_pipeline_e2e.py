@@ -154,6 +154,43 @@ def test_pipeline_resume_skips_committed_slabs(pipeline_run):
     assert stats2.slabs_skipped == -(-Z // 8)
 
 
+def test_resume_refuses_foreign_codec_store(tmp_path):
+    """A pre-existing level-0 with a non-zstd compressor (decodable but not
+    re-encodable here) must start clean instead of failing on the first
+    chunk write in resume mode."""
+    vol = make_input_tile(tmp_path, "t.zarr")
+    results = tmp_path / "results"
+    results.mkdir()
+    out_tile = results / "Ex_488_Em_525" / "t.zarr"
+    tile_group = group(str(out_tile))
+    from aind_smartspim_destripe_tpu.io.zarr import BloscCodec
+
+    tile_group.create_dataset(
+        0, shape=(1, 1, Z, H, W), chunks=(1, 1, 64, 128, 128),
+        dtype=np.uint16,
+        compressor=BloscCodec(cname="lz4", clevel=5),
+        dimension_separator="/",
+    )
+    stats = zd.destripe_zarr(
+        dataset_path=tmp_path / "t.zarr",
+        multiscale="0",
+        output_destriped_zarr=out_tile,
+        prediction_chunksize=(8, H, W),
+        target_size_mb=64,
+        n_workers=0,
+        batch_size=1,
+        super_chunksize=(16, H, W),
+        results_folder=results,
+        derivatives_path=None,
+        xyz_resolution=(1.8, 1.8, 2.0),
+        parameters=PARAMETERS,
+    )
+    assert stats.slabs == -(-Z // 8) and stats.slabs_skipped == 0
+    reopened = open_zarr(str(out_tile))["0"]
+    assert (reopened.meta.get("compressor") or {}).get("cname") == "zstd"
+    assert np.asarray(reopened[:]).any()
+
+
 def test_validate_capsule_inputs(tmp_path):
     (tmp_path / "present.json").write_text("{}")
     missing = zd.validate_capsule_inputs(
