@@ -10,9 +10,10 @@ Three backends, in preference order:
 3. system libblosc (ctypes), used in tests as an interop oracle.
 
 Frame format implemented (c-blosc 1.x; encode is zstd-only like the
-reference store, decode also covers foreign zstd/zlib/lz4/lz4hc frames —
-lz4 is zarr-python's DEFAULT compressor, so input tiles written by generic
-zarr tooling decode here without numcodecs):
+reference store, decode covers EVERY stock c-blosc codec that appears in
+practice — zstd/zlib/lz4/lz4hc/blosclz; lz4 is zarr-python's DEFAULT
+compressor and blosclz is c-blosc's own default, so input tiles written by
+generic zarr tooling decode here without numcodecs):
 
   header[16]: version(1B)=2, versionlz(1B)=1, flags(1B), typesize(1B),
               nbytes(u32le), blocksize(u32le), cbytes(u32le)
@@ -275,6 +276,68 @@ def _lz4_block_decompress_inner(src: bytes, dlen: int) -> bytes:
     return bytes(out)
 
 
+def _blosclz_block_decompress(src: bytes, dlen: int) -> bytes:
+    """Decode one blosclz block (c-blosc's own default codec, FastLZ-derived
+    format version 1). Near matches: distance = ((ctrl & 31) << 8) + code + 1;
+    far matches (code == 255 with the 13-bit offset saturated): two extra
+    bytes, distance = ofs16 + 8192. Both branches pinned empirically against
+    libblosc 1.21 streams (hand-decoded and fuzzed)."""
+    try:
+        return _blosclz_block_decompress_inner(src, dlen)
+    except IndexError:
+        raise ValueError("truncated blosclz block") from None
+
+
+def _blosclz_block_decompress_inner(src: bytes, dlen: int) -> bytes:
+    out = bytearray()
+    n = len(src)
+    if n == 0:
+        raise ValueError("empty blosclz block")
+    ctrl = src[0] & 31
+    i = 1
+    while True:
+        if ctrl < 32:
+            if i + ctrl + 1 > n:
+                raise ValueError("blosclz literal run past end of block")
+            out += src[i : i + ctrl + 1]
+            i += ctrl + 1
+        else:
+            mlen = (ctrl >> 5) - 1
+            ofs = (ctrl & 31) << 8
+            if mlen == 6:
+                while True:
+                    c = src[i]
+                    i += 1
+                    mlen += c
+                    if c != 255:
+                        break
+            code = src[i]
+            i += 1
+            if code == 255 and ofs == (31 << 8):
+                dist = ((src[i] << 8) | src[i + 1]) + 8192
+                i += 2
+            else:
+                dist = ofs + code + 1
+            mlen += 3
+            start = len(out) - dist
+            if start < 0:
+                raise ValueError("blosclz match offset out of range")
+            if dist >= mlen:
+                out += out[start : start + mlen]
+            else:  # overlapping match: byte-serial self-reference
+                for k in range(mlen):
+                    out.append(out[start + k])
+        if i >= n:
+            break
+        ctrl = src[i]
+        i += 1
+    if len(out) != dlen:
+        raise ValueError(
+            f"blosclz block decoded {len(out)} bytes, expected {dlen}"
+        )
+    return bytes(out)
+
+
 def decompress_py(frame: bytes | memoryview) -> bytes:
     frame = bytes(frame)
     if len(frame) < 16:
@@ -296,6 +359,8 @@ def decompress_py(frame: bytes | memoryview) -> bytes:
         decomp = lambda b, hint: zlib.decompress(b)
     elif code == 1:
         decomp = _lz4_block_decompress
+    elif code == 0:
+        decomp = _blosclz_block_decompress
     else:
         raise NotImplementedError(f"blosc inner codec {code} not supported")
 
@@ -462,7 +527,7 @@ def decompress_batch(frames: list) -> list:
         return [decompress_py(f) for f in frames_b]
     nbytes = [struct.unpack("<I", f[4:8])[0] for f in frames_b]
     codes = [(f[2] >> 5) & 0x07 for f in frames_b]
-    native_ok = [c in (1, 4) or (f[2] & 0x02) for c, f in zip(codes, frames_b)]
+    native_ok = [c in (0, 1, 4) or (f[2] & 0x02) for c, f in zip(codes, frames_b)]
     n = len(frames_b)
     caps = [max(m, 1) for m in nbytes]
     offs = np.concatenate([[0], np.cumsum(caps)])
@@ -535,7 +600,7 @@ def decompress(frame) -> bytes:
         frame_b = bytes(frame)
         nbytes = struct.unpack("<I", frame_b[4:8])[0]
         code = (frame_b[2] >> 5) & 0x07
-        if code in (1, 4) or frame_b[2] & 0x02:
+        if code in (0, 1, 4) or frame_b[2] & 0x02:
             dst = np.empty(max(nbytes, 1), np.uint8)
             n = lib.blosc1_decompress(
                 frame_b, len(frame_b), ctypes.c_char_p(dst.ctypes.data),

@@ -482,9 +482,63 @@ static long long lz4_block_decompress(const uint8_t* src, size_t slen,
   return (long long)op;
 }
 
-// Decode one blosc1 frame (zstd/lz4/lz4hc or memcpy; byte/bit shuffle; the
-// lz4 "split" sub-stream layout of c-blosc writers). Returns the number
-// of bytes written or negative on error.
+// Decode one blosclz block (c-blosc's own default codec, FastLZ-derived
+// format version 1). Near matches: distance = ((ctrl & 31) << 8) + code + 1;
+// far matches (code == 255 with the 13-bit offset saturated): two extra
+// bytes, distance = ofs16 + 8192. Pinned empirically against libblosc 1.21
+// streams. Returns bytes written or -1 on malformed input.
+static long long blosclz_block_decompress(const uint8_t* src, size_t slen,
+                                          uint8_t* dst, size_t dcap) {
+  if (slen == 0) return -1;
+  size_t ip = 0, op = 0;
+  uint32_t ctrl = src[ip++] & 31;
+  while (true) {
+    if (ctrl < 32) {
+      const size_t lit = size_t(ctrl) + 1;
+      if (ip + lit > slen || op + lit > dcap) return -1;
+      std::memcpy(dst + op, src + ip, lit);
+      ip += lit;
+      op += lit;
+    } else {
+      size_t mlen = (ctrl >> 5) - 1;
+      const uint32_t ofs = (ctrl & 31) << 8;
+      if (mlen == 6) {
+        uint8_t c;
+        do {
+          if (ip >= slen) return -1;
+          c = src[ip++];
+          mlen += c;
+        } while (c == 255);
+      }
+      if (ip >= slen) return -1;
+      const uint8_t code = src[ip++];
+      size_t dist;
+      if (code == 255 && ofs == (31u << 8)) {
+        if (ip + 2 > slen) return -1;
+        dist = ((size_t(src[ip]) << 8) | src[ip + 1]) + 8192;
+        ip += 2;
+      } else {
+        dist = size_t(ofs) + code + 1;
+      }
+      mlen += 3;
+      if (dist > op || op + mlen > dcap) return -1;
+      const uint8_t* m = dst + op - dist;
+      if (dist >= mlen) {
+        std::memcpy(dst + op, m, mlen);
+      } else {  // overlapping match: byte-serial self-reference
+        for (size_t k = 0; k < mlen; ++k) dst[op + k] = m[k];
+      }
+      op += mlen;
+    }
+    if (ip >= slen) break;
+    ctrl = src[ip++];
+  }
+  return (long long)op;
+}
+
+// Decode one blosc1 frame (zstd/lz4/lz4hc/blosclz or memcpy; byte/bit
+// shuffle; the "split" sub-stream layout of c-blosc writers). Returns the
+// number of bytes written or negative on error.
 long long blosc1_decompress(const char* src_, size_t srclen, char* dst_,
                             size_t dstsize) {
   const uint8_t* src = reinterpret_cast<const uint8_t*>(src_);
@@ -502,7 +556,8 @@ long long blosc1_decompress(const char* src_, size_t srclen, char* dst_,
     return (long long)nbytes;
   }
   const int codec = (flags >> 5) & 0x7;
-  if (codec != 4 && codec != 1) return -3;  // zstd + lz4/lz4hc decode
+  if (codec != 4 && codec != 1 && codec != 0)
+    return -3;  // zstd + lz4/lz4hc + blosclz decode
 
   const size_t nblocks = nbytes ? (nbytes + bs - 1) / bs : 1;
   if (srclen < kHeaderSize + 4 * nblocks) return -2;
@@ -534,9 +589,13 @@ long long blosc1_decompress(const char* src_, size_t srclen, char* dst_,
         const size_t r =
             ZSTD_decompressDCtx(dctx, outj, ssize, src + p + 4, csize);
         if (ZSTD_isError(r) || r != ssize) return -4;
-      } else {
+      } else if (codec == 1) {
         const long long r =
             lz4_block_decompress(src + p + 4, csize, outj, ssize);
+        if (r != (long long)ssize) return -4;
+      } else {
+        const long long r =
+            blosclz_block_decompress(src + p + 4, csize, outj, ssize);
         if (r != (long long)ssize) return -4;
       }
       p += 4 + csize;

@@ -106,27 +106,36 @@ def test_interop_matrix(shuffle, n, ts):
         assert blosc.decompress(sys_frame) == data
 
 
-@pytest.mark.parametrize("cname", ["lz4", "lz4hc"])
+@pytest.mark.parametrize("cname", ["lz4", "lz4hc", "blosclz"])
 @pytest.mark.parametrize("shuffle", [blosc.NOSHUFFLE, blosc.SHUFFLE, blosc.BITSHUFFLE])
 @pytest.mark.parametrize("ts", [1, 2, 3, 8])
-def test_foreign_lz4_frames_decode(cname, shuffle, ts):
-    """Foreign blosc-lz4 frames (zarr-python's DEFAULT compressor) decode
-    through BOTH backends — including c-blosc's split sub-stream layout
-    (flag 0x10 clear: each full block is `typesize` independent streams)
-    and ragged final blocks. Encoded by real libblosc when present; the
-    layout/bitshuffle rules were pinned against libblosc 1.21."""
+def test_foreign_codec_frames_decode(cname, shuffle, ts):
+    """Foreign blosc-lz4 (zarr-python's DEFAULT compressor) and blosclz
+    (c-blosc's own default) frames decode through BOTH backends — including
+    c-blosc's split sub-stream layout (flag 0x10 clear: each full block is
+    `typesize` independent streams), ragged final blocks, and blosclz far
+    matches (distance > 8191, the ofs16+8192 branch). Encoded by real
+    libblosc when present; the rules were pinned against libblosc 1.21."""
     if blosc.load_system_blosc() is None:
-        pytest.skip("system c-blosc not available as the lz4 encoder")
+        pytest.skip("system c-blosc not available as the foreign encoder")
     rng = np.random.default_rng(ts * 7 + shuffle)
+
+    def lowent(n, seed):
+        r = np.random.default_rng(seed)
+        return r.choice(np.frombuffer(b"abcdefgh", np.uint8), size=n).tobytes()
+
     for n in (100, 100_000, 2**18 + 100, 10**6 + 7):
-        data = np.clip(
+        noise = np.clip(
             300 + rng.normal(size=n // 2 + 1) * 40, 0, 65535
         ).astype(np.uint16).tobytes()[:n]
-        frame = blosc.system_compress(
-            data, typesize=ts, clevel=1, shuffle=shuffle, cname=cname
-        )
-        assert blosc.decompress_py(frame) == data
-        assert blosc.decompress(frame) == data
+        rep = lowent(min(n // 3, 20_000), n)  # long-range repeats -> far
+        far = (rep + lowent(max(n - 2 * len(rep), 1), n + 1) + rep)[:n]
+        for data in (noise, far):
+            frame = blosc.system_compress(
+                data, typesize=ts, clevel=5, shuffle=shuffle, cname=cname
+            )
+            assert blosc.decompress_py(frame) == data
+            assert blosc.decompress(frame) == data
 
 
 def test_lz4_batch_decode_mixed_codecs():
