@@ -79,6 +79,11 @@ def dual_band_destripe_batch(
     - ``threshold``: sigmoid center; < 0 means per-plane Otsu,
     - ``crossover``: sigmoid width (reference foreground_fraction semantics).
     """
+    if not isinstance(crossover, jax.core.Tracer) and not crossover > 0:
+        # crossover = 0 makes the sigmoid 0/0 = NaN at the center pixel and
+        # a negative width silently swaps the bands; fail loudly at every
+        # surface (configs dict, CLI, env) that funnels here
+        raise ValueError(f"dual-band crossover must be > 0, got {crossover}")
     x = images.astype(jnp.float32)
     b = x.shape[0]
     both = destripe_batch(plan, images, -jnp.inf, consts, dual=True)
@@ -177,7 +182,7 @@ def dual_band_destripe_configs(
     out = np.asarray(
         _jitted_dual(
             plan,
-            jnp.asarray(img.astype(np.float32)),
+            jnp.asarray(img.astype(np.float32, copy=False)),
             float(threshold),
             device_constants(plan),
             crossover=float(crossover),
@@ -207,7 +212,7 @@ def dual_band_filtering(
     out = np.asarray(
         _jitted_dual(
             plan,
-            jnp.asarray(img.astype(np.float32)),
+            jnp.asarray(img.astype(np.float32, copy=False)),
             float(threshold),
             device_constants(plan),
             crossover=float(crossover),

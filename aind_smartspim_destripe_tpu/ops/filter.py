@@ -63,7 +63,17 @@ __all__ = [
     "destripe_batch",
     "classify_planes",
     "log_space_fft_filtering",
+    "wrap_cast",
 ]
+
+
+def wrap_cast(y: jax.Array) -> jax.Array:
+    """zarr-store modulo-2^16 uint16 cast (reference zarr_destriper.py:336
+    assigns the unclipped float into a uint16 zarr, which wraps via numpy
+    astype; a bare XLA astype would saturate instead). The ONE definition —
+    the dual pipeline epilogue and the tests alias it so the wrap semantics
+    can't drift between the classifier and dual paths."""
+    return jnp.mod(jnp.trunc(y).astype(jnp.int32), 65536).astype(jnp.uint16)
 
 
 @dataclass(frozen=True)
@@ -879,9 +889,7 @@ def destripe_batch(
 
             return flatfield_correction(y, flat, dark)
         if wrap:
-            return jnp.mod(jnp.trunc(y).astype(jnp.int32), 65536).astype(
-                jnp.uint16
-            )
+            return wrap_cast(y)
         return y
 
     x = images.astype(jnp.float32)

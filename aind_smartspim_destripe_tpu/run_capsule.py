@@ -152,7 +152,7 @@ def run(
         # Opt-in dual-band capsule runs without editing code: the reference
         # hardcodes its production parameters (run_capsule.py:377-388); env
         # vars are this framework's knob convention (README env table).
-        if os.environ.get("DESTRIPE_DUAL_BAND", "") not in ("", "0"):
+        if os.environ.get("DESTRIPE_DUAL_BAND", "") == "1":
             parameters["dual_band"] = True
             if os.environ.get("DESTRIPE_DUAL_CROSSOVER"):
                 parameters["crossover"] = float(

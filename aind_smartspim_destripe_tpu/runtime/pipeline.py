@@ -116,9 +116,9 @@ def make_device_step(plan: DestripePlan, microscope_high_int: float,
                 from ..ops.flatfield import flatfield_correction
 
                 return flatfield_correction(blended, flat, dark)
-            return jnp.mod(
-                jnp.trunc(blended).astype(jnp.int32), 65536
-            ).astype(jnp.uint16)
+            from ..ops.filter import wrap_cast
+
+            return wrap_cast(blended)
         # Epilogues fuse into the destripe kernel (on the Pallas band path
         # they run inside the final synthesis program — one less full-image
         # HBM round trip): flat-field correction when flats are provided,
@@ -295,12 +295,17 @@ class StreamingDestriper:
             "no_cells": str(plan.no_cells),
             "high_int": microscope_high_int,
             "with_flat": self.with_flat,
-            # mode change invalidates the resume journal: a dual-band slab
-            # is not interchangeable with a classifier-dispatched one
-            "dual": bool(dual),
-            "crossover": float(crossover) if dual else None,
-            "dual_threshold": float(dual_threshold) if dual else None,
         }
+        if dual:
+            # mode change invalidates the resume journal (exact-dict meta
+            # compare): a dual-band slab is not interchangeable with a
+            # classifier-dispatched one. Keys appear ONLY in dual mode so
+            # pre-existing single-band journals keep resuming.
+            meta.update({
+                "dual": True,
+                "crossover": float(crossover),
+                "dual_threshold": float(dual_threshold),
+            })
         self.journal = (
             _Journal(
                 os.path.join(

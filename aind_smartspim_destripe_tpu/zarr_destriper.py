@@ -394,15 +394,20 @@ def destripe_zarr(
         output_zarr = None
         if "0" in new_channel_group:
             existing = new_channel_group["0"]
-            existing_comp = (existing.meta.get("compressor") or {}).get("cname")
+            comp_cfg = existing.meta.get("compressor") or {}
+            # resume writes re-encode chunks: the only decodable-but-NOT-
+            # encodable compressors here are blosc cnames other than zstd
+            # (e.g. lz4) — those must start clean instead of failing on the
+            # first chunk write; raw/zstd/zlib/gzip stores all re-encode
+            reencodable = not (
+                comp_cfg.get("id") == "blosc"
+                and comp_cfg.get("cname") != "zstd"
+            )
             if (
                 tuple(existing.shape) == tuple(original_dataset_shape)
                 and tuple(existing.chunks) == tuple(out_chunks)
                 and existing.dtype == np.dtype(np.uint16)
-                # resume writes re-encode chunks: a foreign-codec store
-                # (e.g. lz4, which this codec decodes but does not encode)
-                # must start clean instead of failing mid-pipeline
-                and existing_comp == "zstd"
+                and reencodable
             ):
                 output_zarr = existing
                 logger.info("Reusing existing output zarr (resume mode)")

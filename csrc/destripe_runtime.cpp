@@ -558,6 +558,7 @@ long long blosc1_decompress(const char* src_, size_t srclen, char* dst_,
   const int codec = (flags >> 5) & 0x7;
   if (codec != 4 && codec != 1 && codec != 0)
     return -3;  // zstd + lz4/lz4hc + blosclz decode
+  if (bs == 0) return -2;  // corrupt header: nblocks division below
 
   const size_t nblocks = nbytes ? (nbytes + bs - 1) / bs : 1;
   if (srclen < kHeaderSize + 4 * nblocks) return -2;

@@ -154,6 +154,19 @@ def test_lz4_batch_decode_mixed_codecs():
     assert all(bytes(g) == d for g, d in zip(got, datas))
 
 
+def test_zero_blocksize_frame_rejected_not_sigfpe():
+    """A corrupt header with blocksize=0 and nbytes>0 must raise, not crash
+    the process: the native decoder used to SIGFPE on the nblocks division
+    once lz4/blosclz frames started routing into it."""
+    import struct
+
+    frame = struct.pack("<BBBBIII", 2, 1, 0x80, 2, 100, 0, 16)
+    with pytest.raises(Exception):
+        blosc.decompress(frame)
+    with pytest.raises(Exception):
+        blosc.decompress_py(frame)
+
+
 def test_lz4_block_decoder_rejects_malformed():
     with pytest.raises(ValueError):
         blosc._lz4_block_decompress(b"\xf0", 100)  # literal run past end

@@ -51,9 +51,9 @@ def _expected(vol, flat=None, dark=None):
     )
     if flat is not None:
         return np.asarray(flatfield_correction(blended, flat, dark))
-    return np.asarray(
-        jnp.mod(jnp.trunc(blended).astype(jnp.int32), 65536).astype(jnp.uint16)
-    )
+    from aind_smartspim_destripe_tpu.ops.filter import wrap_cast
+
+    return np.asarray(wrap_cast(blended))
 
 
 def _assert_lsb(a, b, tol=1):
@@ -106,6 +106,13 @@ def test_device_step_dual_multichip_identity():
         )
     )
     _assert_lsb(out, _expected(vol))
+
+
+def test_dual_crossover_must_be_positive():
+    img = _vol(1)[0]
+    for bad in (0.0, -5.0):
+        with pytest.raises(ValueError, match="crossover"):
+            db.dual_band_destripe_configs(img, CELLS, NO_CELLS, crossover=bad)
 
 
 def test_dual_configs_must_share_wavelet_level():
