@@ -10,8 +10,8 @@ Three backends, in preference order:
 3. system libblosc (ctypes), used in tests as an interop oracle.
 
 Frame format implemented (c-blosc 1.x; encode is zstd-only like the
-reference store, decode covers EVERY stock c-blosc codec that appears in
-practice — zstd/zlib/lz4/lz4hc/blosclz; lz4 is zarr-python's DEFAULT
+reference store, decode covers EVERY stock c-blosc codec —
+zstd/zlib/lz4/lz4hc/blosclz/snappy; lz4 is zarr-python's DEFAULT
 compressor and blosclz is c-blosc's own default, so input tiles written by
 generic zarr tooling decode here without numcodecs):
 
@@ -276,6 +276,73 @@ def _lz4_block_decompress_inner(src: bytes, dlen: int) -> bytes:
     return bytes(out)
 
 
+def _snappy_block_decompress(src: bytes, dlen: int) -> bytes:
+    """Decode one raw snappy block (the public format: varint uncompressed
+    length, then literal/copy elements). Dependency-free fallback for
+    foreign blosc-snappy frames."""
+    try:
+        return _snappy_block_decompress_inner(src, dlen)
+    except IndexError:
+        raise ValueError("truncated snappy block") from None
+
+
+def _snappy_block_decompress_inner(src: bytes, dlen: int) -> bytes:
+    i, n = 0, len(src)
+    # varint32 uncompressed length
+    ulen = shift = 0
+    while True:
+        b = src[i]
+        i += 1
+        ulen |= (b & 0x7F) << shift
+        shift += 7
+        if not b & 0x80:
+            break
+        if shift > 32:
+            raise ValueError("snappy varint overflow")
+    if ulen != dlen:
+        raise ValueError(f"snappy block advertises {ulen} bytes, expected {dlen}")
+    out = bytearray()
+    while i < n:
+        tag = src[i]
+        i += 1
+        kind = tag & 0x03
+        if kind == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:
+                nb = ln - 59
+                ln = int.from_bytes(src[i : i + nb], "little")
+                i += nb
+            ln += 1
+            if i + ln > n:
+                raise ValueError("snappy literal past end of block")
+            out += src[i : i + ln]
+            i += ln
+            continue
+        if kind == 1:  # copy with 1-byte offset
+            ln = ((tag >> 2) & 0x07) + 4
+            off = ((tag >> 5) << 8) | src[i]
+            i += 1
+        elif kind == 2:  # copy with 2-byte offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(src[i : i + 2], "little")
+            i += 2
+        else:  # copy with 4-byte offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(src[i : i + 4], "little")
+            i += 4
+        if off == 0 or off > len(out):
+            raise ValueError("snappy copy offset out of range")
+        start = len(out) - off
+        if off >= ln:
+            out += out[start : start + ln]
+        else:  # overlapping copy
+            for k in range(ln):
+                out.append(out[start + k])
+    if len(out) != dlen:
+        raise ValueError(f"snappy block decoded {len(out)} bytes, expected {dlen}")
+    return bytes(out)
+
+
 def _blosclz_block_decompress(src: bytes, dlen: int) -> bytes:
     """Decode one blosclz block (c-blosc's own default codec, FastLZ-derived
     format version 1). Near matches: distance = ((ctrl & 31) << 8) + code + 1;
@@ -361,6 +428,8 @@ def decompress_py(frame: bytes | memoryview) -> bytes:
         decomp = _lz4_block_decompress
     elif code == 0:
         decomp = _blosclz_block_decompress
+    elif code == 2:
+        decomp = _snappy_block_decompress
     else:
         raise NotImplementedError(f"blosc inner codec {code} not supported")
 
@@ -527,7 +596,7 @@ def decompress_batch(frames: list) -> list:
         return [decompress_py(f) for f in frames_b]
     nbytes = [struct.unpack("<I", f[4:8])[0] for f in frames_b]
     codes = [(f[2] >> 5) & 0x07 for f in frames_b]
-    native_ok = [c in (0, 1, 4) or (f[2] & 0x02) for c, f in zip(codes, frames_b)]
+    native_ok = [c in (0, 1, 2, 4) or (f[2] & 0x02) for c, f in zip(codes, frames_b)]
     n = len(frames_b)
     caps = [max(m, 1) for m in nbytes]
     offs = np.concatenate([[0], np.cumsum(caps)])
@@ -600,7 +669,7 @@ def decompress(frame) -> bytes:
         frame_b = bytes(frame)
         nbytes = struct.unpack("<I", frame_b[4:8])[0]
         code = (frame_b[2] >> 5) & 0x07
-        if code in (0, 1, 4) or frame_b[2] & 0x02:
+        if code in (0, 1, 2, 4) or frame_b[2] & 0x02:
             dst = np.empty(max(nbytes, 1), np.uint8)
             n = lib.blosc1_decompress(
                 frame_b, len(frame_b), ctypes.c_char_p(dst.ctypes.data),

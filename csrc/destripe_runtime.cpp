@@ -536,9 +536,73 @@ static long long blosclz_block_decompress(const uint8_t* src, size_t slen,
   return (long long)op;
 }
 
-// Decode one blosc1 frame (zstd/lz4/lz4hc/blosclz or memcpy; byte/bit
-// shuffle; the "split" sub-stream layout of c-blosc writers). Returns the
-// number of bytes written or negative on error.
+// Decode one raw snappy block (public format: varint uncompressed length,
+// then literal/copy elements). Returns bytes written or -1 on malformed
+// input.
+static long long snappy_block_decompress(const uint8_t* src, size_t slen,
+                                         uint8_t* dst, size_t dcap) {
+  size_t ip = 0, op = 0;
+  uint64_t ulen = 0;
+  int shift = 0;
+  while (true) {
+    if (ip >= slen || shift > 32) return -1;
+    const uint8_t b = src[ip++];
+    ulen |= uint64_t(b & 0x7F) << shift;
+    shift += 7;
+    if (!(b & 0x80)) break;
+  }
+  if (ulen != dcap) return -1;
+  while (ip < slen) {
+    const uint8_t tag = src[ip++];
+    const int kind = tag & 0x03;
+    if (kind == 0) {  // literal
+      size_t ln = tag >> 2;
+      if (ln >= 60) {
+        const size_t nb = ln - 59;
+        if (ip + nb > slen) return -1;
+        ln = 0;
+        for (size_t k = 0; k < nb; ++k) ln |= size_t(src[ip + k]) << (8 * k);
+        ip += nb;
+      }
+      ln += 1;
+      if (ip + ln > slen || op + ln > dcap) return -1;
+      std::memcpy(dst + op, src + ip, ln);
+      ip += ln;
+      op += ln;
+      continue;
+    }
+    size_t ln, off;
+    if (kind == 1) {
+      if (ip >= slen) return -1;
+      ln = ((tag >> 2) & 0x07) + 4;
+      off = (size_t(tag >> 5) << 8) | src[ip++];
+    } else if (kind == 2) {
+      if (ip + 2 > slen) return -1;
+      ln = (tag >> 2) + 1;
+      off = size_t(src[ip]) | (size_t(src[ip + 1]) << 8);
+      ip += 2;
+    } else {
+      if (ip + 4 > slen) return -1;
+      ln = (tag >> 2) + 1;
+      off = size_t(src[ip]) | (size_t(src[ip + 1]) << 8) |
+            (size_t(src[ip + 2]) << 16) | (size_t(src[ip + 3]) << 24);
+      ip += 4;
+    }
+    if (off == 0 || off > op || op + ln > dcap) return -1;
+    const uint8_t* m = dst + op - off;
+    if (off >= ln) {
+      std::memcpy(dst + op, m, ln);
+    } else {
+      for (size_t k = 0; k < ln; ++k) dst[op + k] = m[k];
+    }
+    op += ln;
+  }
+  return (long long)op;
+}
+
+// Decode one blosc1 frame (zstd/lz4/lz4hc/blosclz/snappy or memcpy;
+// byte/bit shuffle; the "split" sub-stream layout of c-blosc writers).
+// Returns the number of bytes written or negative on error.
 long long blosc1_decompress(const char* src_, size_t srclen, char* dst_,
                             size_t dstsize) {
   const uint8_t* src = reinterpret_cast<const uint8_t*>(src_);
@@ -556,8 +620,8 @@ long long blosc1_decompress(const char* src_, size_t srclen, char* dst_,
     return (long long)nbytes;
   }
   const int codec = (flags >> 5) & 0x7;
-  if (codec != 4 && codec != 1 && codec != 0)
-    return -3;  // zstd + lz4/lz4hc + blosclz decode
+  if (codec != 4 && codec != 1 && codec != 0 && codec != 2)
+    return -3;  // zstd + lz4/lz4hc + blosclz + snappy decode
   if (bs == 0) return -2;  // corrupt header: nblocks division below
 
   const size_t nblocks = nbytes ? (nbytes + bs - 1) / bs : 1;
@@ -590,13 +654,14 @@ long long blosc1_decompress(const char* src_, size_t srclen, char* dst_,
         const size_t r =
             ZSTD_decompressDCtx(dctx, outj, ssize, src + p + 4, csize);
         if (ZSTD_isError(r) || r != ssize) return -4;
-      } else if (codec == 1) {
-        const long long r =
-            lz4_block_decompress(src + p + 4, csize, outj, ssize);
-        if (r != (long long)ssize) return -4;
       } else {
-        const long long r =
-            blosclz_block_decompress(src + p + 4, csize, outj, ssize);
+        long long r;
+        if (codec == 1)
+          r = lz4_block_decompress(src + p + 4, csize, outj, ssize);
+        else if (codec == 0)
+          r = blosclz_block_decompress(src + p + 4, csize, outj, ssize);
+        else
+          r = snappy_block_decompress(src + p + 4, csize, outj, ssize);
         if (r != (long long)ssize) return -4;
       }
       p += 4 + csize;

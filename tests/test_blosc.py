@@ -106,7 +106,7 @@ def test_interop_matrix(shuffle, n, ts):
         assert blosc.decompress(sys_frame) == data
 
 
-@pytest.mark.parametrize("cname", ["lz4", "lz4hc", "blosclz"])
+@pytest.mark.parametrize("cname", ["lz4", "lz4hc", "blosclz", "snappy"])
 @pytest.mark.parametrize("shuffle", [blosc.NOSHUFFLE, blosc.SHUFFLE, blosc.BITSHUFFLE])
 @pytest.mark.parametrize("ts", [1, 2, 3, 8])
 def test_foreign_codec_frames_decode(cname, shuffle, ts):
