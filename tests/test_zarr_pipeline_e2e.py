@@ -8,6 +8,7 @@ integration tier the reference lacks entirely (SURVEY.md section 4).
 import json
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -189,6 +190,89 @@ def test_resume_refuses_foreign_codec_store(tmp_path):
     reopened = open_zarr(str(out_tile))["0"]
     assert (reopened.meta.get("compressor") or {}).get("cname") == "zstd"
     assert np.asarray(reopened[:]).any()
+
+
+def test_destripe_foreign_lz4_input_tile(tmp_path):
+    """An input tile compressed with blosc-lz4 (zarr-python's default, what
+    generic conversion tooling writes) streams through destripe_zarr
+    end-to-end — the decode matrix is a production input path, not just a
+    codec unit feature."""
+    from aind_smartspim_destripe_tpu.io import blosc as blosc_mod
+
+    if blosc_mod.load_system_blosc() is None:
+        pytest.skip("system c-blosc not available as the lz4 encoder")
+    rng = np.random.default_rng(7)
+    vol = np.clip(
+        300
+        + (rng.normal(size=(Z, H, 1)) * 60) * np.ones((1, 1, W))
+        + rng.normal(size=(Z, H, W)) * 10,
+        0, 65535,
+    ).astype(np.uint16)
+
+    # forge the store the way zarr-python's defaults would write it
+    import json as _json
+
+    root = tmp_path / "foreign.zarr"
+    lvl = root / "0"
+    os.makedirs(lvl)
+    chunks = (8, 64, 64)
+    (root / ".zgroup").write_text(_json.dumps({"zarr_format": 2}))
+    (lvl / ".zarray").write_text(_json.dumps({
+        "zarr_format": 2, "shape": [Z, H, W], "chunks": list(chunks),
+        "dtype": "<u2", "order": "C", "fill_value": 0, "filters": None,
+        "dimension_separator": ".",
+        "compressor": {"id": "blosc", "cname": "lz4", "clevel": 5,
+                       "shuffle": 1, "blocksize": 0},
+    }))
+    for ci in range(-(-Z // chunks[0])):
+        for cj in range(-(-H // chunks[1])):
+            for ck in range(-(-W // chunks[2])):
+                buf = np.zeros(chunks, np.uint16)
+                sl = vol[
+                    ci * chunks[0] : (ci + 1) * chunks[0],
+                    cj * chunks[1] : (cj + 1) * chunks[1],
+                    ck * chunks[2] : (ck + 1) * chunks[2],
+                ]
+                buf[: sl.shape[0], : sl.shape[1], : sl.shape[2]] = sl
+                frame = blosc_mod.system_compress(
+                    buf.tobytes(), typesize=2, clevel=5, shuffle=1, cname="lz4"
+                )
+                (lvl / f"{ci}.{cj}.{ck}").write_bytes(frame)
+
+    # reference store: the SAME volume in our own zstd layout — both runs
+    # share one jitted pipeline, so foreign-decode correctness shows up as
+    # BIT-IDENTICAL outputs (an absolute numeric oracle would instead be
+    # comparing two differently-compiled executables: ulp Otsu jitter can
+    # flip a mask bin and produce legitimate visible diffs)
+    same = group(str(tmp_path / "same.zarr"))
+    lvl0 = same.create_dataset(0, shape=(Z, H, W), chunks=chunks,
+                               dtype=np.uint16)
+    lvl0[:] = vol
+
+    outs = {}
+    for name in ("foreign.zarr", "same.zarr"):
+        results = tmp_path / f"results_{name}"
+        results.mkdir()
+        zd.destripe_zarr(
+            dataset_path=tmp_path / name,
+            multiscale="0",
+            output_destriped_zarr=results / "Ex_488_Em_525" / name,
+            prediction_chunksize=(8, H, W),
+            target_size_mb=64,
+            n_workers=0,
+            batch_size=1,
+            super_chunksize=(16, H, W),
+            results_folder=results,
+            derivatives_path=None,
+            xyz_resolution=(1.8, 1.8, 2.0),
+            parameters=PARAMETERS,
+            devices=jax.local_devices()[:1],
+        )
+        outs[name] = np.asarray(
+            open_zarr(str(results / "Ex_488_Em_525" / name))["0"][:]
+        )
+    assert outs["foreign.zarr"].any()
+    np.testing.assert_array_equal(outs["foreign.zarr"], outs["same.zarr"])
 
 
 def test_validate_capsule_inputs(tmp_path):
