@@ -166,7 +166,11 @@ def compress_py(
     blocksize: int = 0,
 ) -> bytes:
     if cname != "zstd":
-        raise NotImplementedError(f"python backend supports zstd only, got {cname}")
+        raise NotImplementedError(
+            f"encode supports zstd only (the output-store codec, reference "
+            f"zarr_destriper.py:1071); {cname!r} frames are decode-only here "
+            f"— re-create the store with zstd to write"
+        )
     if _zstd is None:  # pragma: no cover
         raise RuntimeError("zstandard module unavailable")
     if isinstance(data, np.ndarray):
