@@ -51,12 +51,23 @@ def _read_values(data, bo, ftype, count, inline, inline_size):
     if fmt is None:
         return None
     size = _TYPE_SIZE[ftype] * count
+    # bound BEFORE building anything sized by count: a corrupt count field
+    # (u32/u64 garbage) must raise, not allocate O(count) — the old
+    # `fmt * count` format string burned seconds and up to GBs on a
+    # single flipped IFD byte before struct.unpack even saw the short raw
+    if size > len(data):
+        raise ValueError(
+            f"TIFF tag value count {count} (type {ftype}) exceeds file size"
+        )
     if size <= inline_size:
         raw = inline[:size]
     else:
         (off,) = struct.unpack(bo + ("Q" if inline_size == 8 else "I"), inline)
         raw = data[off : off + size]
-    return struct.unpack(bo + fmt * count, raw)
+    if len(raw) != size:
+        raise ValueError("TIFF tag values truncated")
+    # repeat-count format syntax: constant-size format string
+    return struct.unpack(bo + f"{count}{fmt}", raw)
 
 
 def _parse_ifds(data: bytes):
@@ -191,6 +202,13 @@ def _decode_page(data: bytes, bo: str, tags: dict) -> np.ndarray:
     counts = tags[_STRIP_COUNTS]
     rows_per_strip = tags.get(_ROWS_PER_STRIP, (length,))[0]
     row_bytes = width * bits // 8
+    # corrupt dimension fields must raise, not allocate: a flipped byte in
+    # ImageLength/RowsPerStrip would otherwise drive multi-GB ljust/buffer
+    # growth below (4 GiB dwarfs any real microscopy page)
+    if length * row_bytes > (1 << 32):
+        raise ValueError(
+            f"TIFF page {length}x{width}x{bits}b exceeds the 4 GiB page bound"
+        )
 
     buf = bytearray()
     for i, (off, cnt) in enumerate(zip(offsets, counts)):

@@ -107,6 +107,44 @@ def _make_filtered_array(path, data, filters, chunk_encoder):
         f.write(zlib.compress(raw, 1))
 
 
+def test_corrupt_tiff_fails_fast(tmp_path):
+    """Malformed TIFFs raise promptly instead of allocating by corrupt
+    header fields (fuzz-derived: a flipped IFD count byte used to build an
+    O(count) struct format string — seconds and up to GBs per file — and a
+    corrupt ImageLength drove multi-GB strip buffers)."""
+    import time
+
+    img = (np.arange(64 * 80, dtype=np.uint16).reshape(64, 80) % 1000)
+    base_path = tmp_path / "base.tiff"
+    tiff_imwrite(str(base_path), img)
+    base = bytearray(base_path.read_bytes())
+
+    # locate the IFD: last 4 bytes of a classic header-first layout point at
+    # it; rather than parse, corrupt EVERY 4-byte window with 0xFF and a
+    # census of bit flips — none may take > 0.5 s or allocate visibly
+    rng = np.random.default_rng(1)
+    variants = [bytes(base[:cut]) for cut in range(1, len(base), 97)]
+    for _ in range(120):
+        i = int(rng.integers(0, len(base)))
+        b = bytearray(base)
+        b[i] ^= int(rng.integers(1, 256))
+        variants.append(bytes(b))
+    for off in range(0, len(base) - 4, 13):
+        b = bytearray(base)
+        b[off : off + 4] = b"\xff\xff\xff\xff"
+        variants.append(bytes(b))
+
+    p = tmp_path / "fuzz.tiff"
+    for v in variants:
+        p.write_bytes(v)
+        t0 = time.perf_counter()
+        try:
+            _native_read(str(p))
+        except Exception:
+            pass
+        assert time.perf_counter() - t0 < 0.5, "corrupt TIFF took too long"
+
+
 def test_zarr_delta_filter_read(tmp_path):
     data = np.cumsum(np.arange(24, dtype=np.int32)).reshape(4, 6).astype(np.uint16)
 
