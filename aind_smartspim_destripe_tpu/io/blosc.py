@@ -240,6 +240,8 @@ def _lz4_block_decompress_inner(src: bytes, dlen: int) -> bytes:
     out = bytearray()
     i, n = 0, len(src)
     while i < n:
+        if len(out) > dlen:  # cannot be valid; stop before 255x expansion
+            raise ValueError("lz4 block overruns its declared length")
         token = src[i]
         i += 1
         lit = token >> 4
@@ -307,6 +309,8 @@ def _snappy_block_decompress_inner(src: bytes, dlen: int) -> bytes:
         raise ValueError(f"snappy block advertises {ulen} bytes, expected {dlen}")
     out = bytearray()
     while i < n:
+        if len(out) > dlen:  # cannot be valid; stop before 64 KiB+ tags
+            raise ValueError("snappy block overruns its declared length")
         tag = src[i]
         i += 1
         kind = tag & 0x03
@@ -367,6 +371,8 @@ def _blosclz_block_decompress_inner(src: bytes, dlen: int) -> bytes:
     ctrl = src[0] & 31
     i = 1
     while True:
+        if len(out) > dlen:  # cannot be valid; stop before 255x expansion
+            raise ValueError("blosclz block overruns its declared length")
         if ctrl < 32:
             if i + ctrl + 1 > n:
                 raise ValueError("blosclz literal run past end of block")
