@@ -226,6 +226,20 @@ def compress_py(
     return header + struct.pack(f"<{nblocks}i", *offsets) + b"".join(blocks)
 
 
+def _emit_match(out: bytearray, dist: int, mlen: int, what: str) -> None:
+    """Append a back-reference copy of ``mlen`` bytes at distance ``dist``
+    (shared by the lz4/snappy/blosclz decoders — the subtle overlapping
+    self-reference case lives in exactly one place)."""
+    if dist == 0 or dist > len(out):
+        raise ValueError(f"{what} match offset out of range")
+    start = len(out) - dist
+    if dist >= mlen:
+        out += out[start : start + mlen]
+    else:  # overlapping match: byte-serial self-reference
+        for k in range(mlen):
+            out.append(out[start + k])
+
+
 def _lz4_block_decompress(src: bytes, dlen: int) -> bytes:
     """Decode one raw LZ4 block (the stable public block format shared by
     lz4 and lz4hc — compression level changes only the encoder's search).
@@ -260,8 +274,6 @@ def _lz4_block_decompress_inner(src: bytes, dlen: int) -> bytes:
             break  # final literals-only sequence
         off = src[i] | (src[i + 1] << 8)
         i += 2
-        if off == 0 or off > len(out):
-            raise ValueError("lz4 match offset out of range")
         mlen = token & 0x0F
         if mlen == 15:
             while True:
@@ -270,13 +282,7 @@ def _lz4_block_decompress_inner(src: bytes, dlen: int) -> bytes:
                 mlen += b
                 if b != 255:
                     break
-        mlen += 4
-        start = len(out) - off
-        if off >= mlen:
-            out += out[start : start + mlen]
-        else:  # overlapping match: byte-serial self-reference
-            for k in range(mlen):
-                out.append(out[start + k])
+        _emit_match(out, off, mlen + 4, "lz4")
     if len(out) != dlen:
         raise ValueError(f"lz4 block decoded {len(out)} bytes, expected {dlen}")
     return bytes(out)
@@ -338,14 +344,7 @@ def _snappy_block_decompress_inner(src: bytes, dlen: int) -> bytes:
             ln = (tag >> 2) + 1
             off = int.from_bytes(src[i : i + 4], "little")
             i += 4
-        if off == 0 or off > len(out):
-            raise ValueError("snappy copy offset out of range")
-        start = len(out) - off
-        if off >= ln:
-            out += out[start : start + ln]
-        else:  # overlapping copy
-            for k in range(ln):
-                out.append(out[start + k])
+        _emit_match(out, off, ln, "snappy")
     if len(out) != dlen:
         raise ValueError(f"snappy block decoded {len(out)} bytes, expected {dlen}")
     return bytes(out)
@@ -395,15 +394,7 @@ def _blosclz_block_decompress_inner(src: bytes, dlen: int) -> bytes:
                 i += 2
             else:
                 dist = ofs + code + 1
-            mlen += 3
-            start = len(out) - dist
-            if start < 0:
-                raise ValueError("blosclz match offset out of range")
-            if dist >= mlen:
-                out += out[start : start + mlen]
-            else:  # overlapping match: byte-serial self-reference
-                for k in range(mlen):
-                    out.append(out[start + k])
+            _emit_match(out, dist, mlen + 3, "blosclz")
         if i >= n:
             break
         ctrl = src[i]

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.filter import DestripePlan, destripe_batch
+from ..ops.filter import DestripePlan, destripe_batch, wrap_cast
 from ..ops.flatfield import flatfield_correction
 
 __all__ = ["PipelineStats", "StreamingDestriper", "make_device_step"]
@@ -116,8 +116,6 @@ def make_device_step(plan: DestripePlan, microscope_high_int: float,
                 from ..ops.flatfield import flatfield_correction
 
                 return flatfield_correction(blended, flat, dark)
-            from ..ops.filter import wrap_cast
-
             return wrap_cast(blended)
         # Epilogues fuse into the destripe kernel (on the Pallas band path
         # they run inside the final synthesis program — one less full-image
