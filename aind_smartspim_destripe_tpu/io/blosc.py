@@ -424,7 +424,17 @@ def decompress_py(frame: bytes | memoryview) -> bytes:
     elif code == 3:
         import zlib
 
-        decomp = lambda b, hint: zlib.decompress(b)
+        def decomp(b, hint):
+            # Bound the inflate at the declared (sub-)stream length like the
+            # lz4/snappy/blosclz decoders: a crafted zlib stream must not be
+            # able to expand past `hint` before the final length check.
+            obj = zlib.decompressobj()
+            out = obj.decompress(bytes(b), hint)
+            if obj.unconsumed_tail or not obj.eof or obj.unused_data:
+                raise ValueError(
+                    f"zlib block decoded past declared length {hint}"
+                )
+            return out
     elif code == 1:
         decomp = _lz4_block_decompress
     elif code == 0:
@@ -453,7 +463,11 @@ def decompress_py(frame: bytes | memoryview) -> bytes:
         parts = []
         p = off
         for _j in range(nsplits):
+            if p + 4 > len(frame):
+                raise ValueError("truncated blosc frame")
             (csize,) = struct.unpack("<i", frame[p : p + 4])
+            if csize < 0 or p + 4 + csize > len(frame):
+                raise ValueError("truncated blosc frame")
             payload = frame[p + 4 : p + 4 + csize]
             p += 4 + csize
             parts.append(
@@ -537,6 +551,7 @@ def compress_batch(
     clevel: int = 3,
     shuffle: int = SHUFFLE,
     cname: str = "zstd",
+    copy: bool = False,
 ) -> list:
     """Encode many frames in ONE native call (the C++ runtime fans the
     batch over its own threads — no per-chunk Python dispatch). Falls back
@@ -547,7 +562,8 @@ def compress_batch(
     destination block, sized for the whole batch. ``file.write(frame)`` and
     ``len(frame)`` work directly; call ``bytes(frame)`` before pickling,
     hashing, or retaining a single frame long-term (any retained view keeps
-    the whole batch block alive)."""
+    the whole batch block alive) — or pass ``copy=True`` to get independent
+    ``bytes`` frames (one extra memcpy per frame, off the hot path)."""
     lib = _load_native()
     if not lib or cname != "zstd" or not chunks:
         return [compress(c, typesize, clevel, shuffle, cname) for c in chunks]
@@ -583,9 +599,10 @@ def compress_batch(
     # memoryviews into the shared destination block (zero-copy, like
     # decompress_batch): file writers take them directly, and each view
     # keeps the backing block alive
-    return [
+    views = [
         dst_np[int(offs[i]) : int(offs[i]) + outl[i]].data for i in range(n)
     ]
+    return [bytes(v) for v in views] if copy else views
 
 
 def decompress_batch(frames: list) -> list:

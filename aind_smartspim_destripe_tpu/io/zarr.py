@@ -482,8 +482,16 @@ class ZarrArray:
         p = self._chunk_path(cidx)
         self._ensure_dir(os.path.dirname(p))
         tmp = p + ".partial"
-        with open(tmp, "wb") as f:
-            f.write(frame)
+        try:
+            with open(tmp, "wb") as f:
+                f.write(frame)
+        except FileNotFoundError:
+            # the memoized dir was removed externally (cleanup / retry logic
+            # recreating the store): drop the memo and recreate once
+            self.__dict__.pop("_made_dirs", None)
+            self._ensure_dir(os.path.dirname(p))
+            with open(tmp, "wb") as f:
+                f.write(frame)
         os.replace(tmp, p)
 
     def _chunk_range(self, bounds):

@@ -232,6 +232,46 @@ def test_truncated_frame_raises():
         blosc.decompress_py(b"\x02\x01")
 
 
+def test_zlib_block_bounded_at_declared_length():
+    """A crafted zlib stream that inflates past the declared block length
+    must be rejected during decode, not after a ~255x expansion."""
+    import struct as _struct
+    import zlib as _zlib
+
+    payload = _zlib.compress(b"A" * 10_000)
+    nbytes = blocksize = 100
+    header = _struct.pack(
+        "<BBBBIII", 2, 1, 3 << 5, 1, nbytes, blocksize,
+        16 + 4 + 4 + len(payload),
+    )
+    frame = header + _struct.pack("<i", 24) + _struct.pack("<i", len(payload)) + payload
+    with pytest.raises(ValueError):
+        blosc.decompress_py(frame)
+
+
+def test_truncated_split_stream_header_raises_valueerror():
+    """An offset table pointing past the frame end must raise the
+    ValueError('truncated blosc frame') contract, not struct.error."""
+    import struct as _struct
+
+    header = _struct.pack("<BBBBIII", 2, 1, 1 << 5, 1, 100, 100, 22)
+    frame = header + _struct.pack("<i", 21) + b"\x00\x00"  # p+4 > len(frame)
+    with pytest.raises(ValueError, match="truncated"):
+        blosc.decompress_py(frame)
+    # csize pointing past the end must also raise ValueError
+    frame2 = header + _struct.pack("<i", 20) + _struct.pack("<i", 999)
+    with pytest.raises(ValueError, match="truncated"):
+        blosc.decompress_py(frame2)
+
+
+def test_compress_batch_copy_returns_independent_bytes():
+    chunks = [np.arange(256, dtype=np.uint16) for _ in range(3)]
+    frames = blosc.compress_batch(chunks, typesize=2, copy=True)
+    assert all(isinstance(f, bytes) for f in frames)
+    for f, c in zip(frames, chunks):
+        assert bytes(blosc.decompress_py(f)) == c.tobytes()
+
+
 def test_batch_codec_roundtrip_and_fallback():
     """Batch entry points: native thread fan-out path equals per-frame
     results; frames the native decoder rejects fall back per-frame."""

@@ -102,6 +102,21 @@ def test_group_tree_and_reopen(tmp_path):
     np.testing.assert_array_equal(t["0"][0, 0, 3], np.ones((32, 32), np.uint16))
 
 
+def test_write_recovers_from_externally_removed_dirs(tmp_path):
+    """_ensure_dir memoizes created directories; if the store tree is
+    removed externally mid-run (cleanup / retry recreating the store), a
+    subsequent chunk write must recreate them, not FileNotFoundError."""
+    import shutil
+
+    arr = ZarrArray.create(
+        str(tmp_path / "r"), (4, 4), (2, 2), np.uint16, dimension_separator="/"
+    )
+    arr[:, :] = np.ones((4, 4), np.uint16)
+    shutil.rmtree(str(tmp_path / "r" / "0"))  # nuke a memoized chunk dir
+    arr[:, :] = np.full((4, 4), 3, np.uint16)
+    np.testing.assert_array_equal(arr[:, :], np.full((4, 4), 3, np.uint16))
+
+
 def test_overwrite_semantics(tmp_path):
     p = str(tmp_path / "o")
     ZarrArray.create(p, (4,), (2,), np.uint16)
