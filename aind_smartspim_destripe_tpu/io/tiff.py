@@ -275,22 +275,32 @@ def tiff_imread(path) -> np.ndarray:
         return _native_read(path)
 
 
-def _build_page_ifd(bo, big, arr, data_offset):
-    """(ifd_bytes_without_next, strip_payload) for one page."""
+def _page_payload(bo, arr, compression_level=None):
+    """One full-page strip, optionally Adobe-deflate compressed."""
+    raw = arr.astype(arr.dtype.newbyteorder(bo)).tobytes()
+    if compression_level is None:
+        return raw, 1
+    import zlib
+
+    return zlib.compress(raw, compression_level), 8
+
+
+def _build_page_ifd(bo, big, arr, data_offset, payload_len, comp_tag):
+    """ifd_bytes_without_next for one page whose strip payload is
+    ``payload_len`` bytes at ``data_offset``."""
     h, w = arr.shape
     kind = {"u": 1, "i": 2, "f": 3}[arr.dtype.kind]
-    payload = arr.astype(arr.dtype.newbyteorder(bo)).tobytes()
 
     tags = [
         (_WIDTH, 4, 1, w),
         (_LENGTH, 4, 1, h),
         (_BITS, 3, 1, arr.dtype.itemsize * 8),
-        (_COMPRESSION, 3, 1, 1),
+        (_COMPRESSION, 3, 1, comp_tag),
         (_PHOTOMETRIC, 3, 1, 1),
         (_STRIP_OFFSETS, 16 if big else 4, 1, data_offset),
         (_SAMPLES, 3, 1, 1),
         (_ROWS_PER_STRIP, 4, 1, h),
-        (_STRIP_COUNTS, 16 if big else 4, 1, len(payload)),
+        (_STRIP_COUNTS, 16 if big else 4, 1, payload_len),
         (_SAMPLE_FORMAT, 3, 1, kind),
     ]
     if big:
@@ -303,13 +313,20 @@ def _build_page_ifd(bo, big, arr, data_offset):
         for tag, ftype, cnt, val in tags:
             out += struct.pack(bo + "HHI", tag, ftype, cnt)
             out += struct.pack(bo + "I", val)
-    return out, payload
+    return out
 
 
-def tiff_imwrite(path, img: np.ndarray, bigtiff: Optional[bool] = None):
-    """Write a grayscale TIFF (uncompressed strips). ``img``: (h, w) or
-    (n, h, w) multi-page. BigTIFF is chosen automatically above 3.5 GB or
-    forced via ``bigtiff=True``."""
+def tiff_imwrite(
+    path,
+    img: np.ndarray,
+    bigtiff: Optional[bool] = None,
+    compression_level: Optional[int] = None,
+):
+    """Write a grayscale TIFF. ``img``: (h, w) or (n, h, w) multi-page.
+    ``compression_level`` None -> uncompressed strips; 1..9 -> Adobe
+    deflate at that zlib level (the reference's
+    ``compressionargs={"level": N}``, destriper.py:75-87). BigTIFF is
+    chosen automatically above 3.5 GB or forced via ``bigtiff=True``."""
     img = np.asarray(img)
     pages = img[None] if img.ndim == 2 else img
     if pages.ndim != 3:
@@ -328,11 +345,16 @@ def tiff_imwrite(path, img: np.ndarray, bigtiff: Optional[bool] = None):
         ifd_size = struct.calcsize("H") + 12 * 10 + struct.calcsize("I")
 
     # layout: header | page payloads | IFD chain
+    payloads, comp_tags = [], []
+    for p in pages:
+        payload, comp_tag = _page_payload(bo, p, compression_level)
+        payloads.append(payload)
+        comp_tags.append(comp_tag)
     payload_offsets = []
     pos = header_size
-    for p in pages:
+    for payload in payloads:
         payload_offsets.append(pos)
-        pos += p.nbytes
+        pos += len(payload)
     ifd_offsets = [pos + i * ifd_size for i in range(len(pages))]
 
     with open(path, "wb") as f:
@@ -341,10 +363,9 @@ def tiff_imwrite(path, img: np.ndarray, bigtiff: Optional[bool] = None):
                     + struct.pack(bo + "Q", ifd_offsets[0]))
         else:
             f.write(b"II" + struct.pack(bo + "H", 42) + struct.pack(bo + "I", ifd_offsets[0]))
-        for p, off in zip(pages, payload_offsets):
-            ifd, payload = _build_page_ifd(bo, bigtiff, p, off)
+        for payload in payloads:
             f.write(payload)
         for i, (p, off) in enumerate(zip(pages, payload_offsets)):
-            ifd, _ = _build_page_ifd(bo, bigtiff, p, off)
+            ifd = _build_page_ifd(bo, bigtiff, p, off, len(payloads[i]), comp_tags[i])
             nxt = ifd_offsets[i + 1] if i + 1 < len(pages) else 0
             f.write(ifd + struct.pack(bo + next_fmt, nxt))

@@ -1,9 +1,11 @@
 """
 Image file writers (reference: destriper.py:49-110 ``imsave``).
 
-Same behavior surface: tiff default (with deflate compression), png when
-requested, ``.raw``/``.png`` inputs re-extensioned to ``.tiff`` when no
-explicit output format is given. Built on PIL/imageio (no tifffile).
+Same behavior surface: tiff default (with level-N deflate compression, the
+reference's ``compressionargs={"level": N}``), png when requested,
+``.raw``/``.png`` inputs re-extensioned to ``.tiff`` when no explicit
+output format is given. TIFF goes through the in-repo writer
+(``io.tiff.tiff_imwrite``); imageio only for png.
 """
 
 from __future__ import annotations
@@ -22,13 +24,10 @@ def _get_extension(path) -> str:
 
 
 def _write_tiff(path: str, img: np.ndarray, compression: int = 1):
-    from PIL import Image
+    from .tiff import tiff_imwrite
 
-    im = Image.fromarray(np.asarray(img))
-    if compression and compression > 0:
-        im.save(path, compression="tiff_adobe_deflate")
-    else:
-        im.save(path)
+    level = int(compression) if compression and compression > 0 else None
+    tiff_imwrite(path, np.asarray(img), compression_level=level)
 
 
 def imsave(

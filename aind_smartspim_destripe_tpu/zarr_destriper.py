@@ -192,7 +192,11 @@ def execute_worker(
 def compute_pyramid(data, n_lvls: int, scale_axis, chunks="auto"):
     """Successive windowed-mean reductions of an in-memory array (reference
     zarr_destriper.py:365-407 semantics, device-executed). Returns the list
-    of levels, level 0 first."""
+    of levels, level 0 first.
+
+    ``chunks`` is accepted for reference-signature parity and unused: the
+    reference rechunks a dask graph here; this implementation returns plain
+    arrays and chunking is decided by the store writer."""
     levels = [np.asarray(data)]
     factors = tuple(int(s) for s in scale_axis)
     for _ in range(max(0, n_lvls - 1)):
@@ -244,7 +248,11 @@ def compute_multiscale(
 ):
     """Write levels 1..n_levels-1 plus OME-NGFF metadata (reference
     zarr_destriper.py:677-794). Downsampling runs on device slab-by-slab; no
-    Dask cluster is spun up."""
+    Dask cluster is spun up.
+
+    ``n_workers`` and ``threads_per_worker`` are accepted for
+    reference-signature parity and unused: they sized the reference's Dask
+    LocalCluster, which this implementation replaces with device slabs."""
     logger = logger or logging.getLogger(__name__)
     start_time = time()
 

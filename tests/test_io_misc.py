@@ -56,6 +56,28 @@ def test_imsave_reextensions_raw_and_png_to_tiff(tmp_path):
     assert (tmp_path / "d.tiff").exists()
 
 
+def test_imsave_compression_level_changes_bytes(tmp_path):
+    """The compression arg is a real deflate level (reference destriper.py
+    75-87 passes compressionargs={'level': N}): higher level -> no larger
+    file, any level -> smaller than uncompressed, content identical."""
+    rng = np.random.default_rng(0)
+    base = np.linspace(100, 4000, 256 * 256).reshape(256, 256)
+    img = (base + rng.normal(scale=3.0, size=base.shape)).astype(np.uint16)
+    sizes = {}
+    for level in (0, 1, 6, 9):
+        p = tmp_path / f"l{level}.tiff"
+        writers.imsave(str(p), img, compression=level)
+        sizes[level] = p.stat().st_size
+        np.testing.assert_array_equal(readers.imread(str(p)), img)
+        # PIL must also decode our deflate strips (external-tool interop)
+        from PIL import Image
+
+        np.testing.assert_array_equal(np.asarray(Image.open(str(p))), img)
+    assert sizes[1] < sizes[0]
+    assert sizes[9] <= sizes[6] <= sizes[1]
+    assert sizes[6] < sizes[1]  # the level genuinely reaches the encoder
+
+
 def test_imsave_rejects_unknown(tmp_path):
     with pytest.raises(NotImplementedError):
         writers.imsave(str(tmp_path / "x.jpg"), np.ones((2, 2), np.uint16))
