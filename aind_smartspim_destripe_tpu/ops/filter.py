@@ -127,11 +127,13 @@ class DestripePlan:
             mats.append(tuple(pair))
         return tuple(mats)
 
-    def constants(self):
+    def constants(self, dense_only: bool = False):
         """All large operator matrices as a pytree of numpy arrays, meant to
         be passed INTO a jitted kernel (device-resident) rather than baked
         into the graph — multi-MB HLO literal constants stall XLA's
-        compiler.
+        compiler. ``dense_only=True`` skips the Pallas band / packed-tail
+        operators (callers on the dense path, e.g. the Y-halo-sharded step,
+        which runs no Pallas programs).
 
         The dense per-geometry DWT operators measure ~45% faster end-to-end
         on TPU than the FLOP-cheaper blocked shift-invariant path (transposes
@@ -175,6 +177,8 @@ class DestripePlan:
         # ops/pallas_band.py), finest first — only where the kernels can
         # run; elsewhere (CPU tests, tiny geometries) the dense path reads
         # the keys' absence and the pytree stays lean.
+        if dense_only:
+            return out
         if pallas_band.available():
             for lvl in range(self.n_levels):
                 band = band_operators(self, lvl)
@@ -560,12 +564,13 @@ def _filter_level(
     thr_cells: float,
     thr_no_cells: float,
     otsu_sqrt: Optional[jax.Array] = None,  # precomputed sqrt(otsu(ch^2))
+    pallas: Optional[bool] = None,  # force the Pallas/dense split (None=auto)
 ) -> jax.Array:
     w = ch.shape[-1]
     max_thr = jnp.where(is_cells, thr_cells, thr_no_cells)
 
     use_pallas = (
-        pallas_env.enabled()
+        (pallas_env.enabled() if pallas is None else pallas)
         and ch.dtype == jnp.float32
         and ch.shape[-2] * ch.shape[-1] >= _PALLAS_MIN_PX
     )

@@ -1,9 +1,9 @@
 """
 Y-axis (row) halo sharding for the banded DWT passes — the workload's
 sequence-parallel analog (SURVEY.md §5 "Long-context / sequence
-parallelism"): when a plane is too large for one chip's HBM/VMEM, its rows
-are sharded across the mesh and each analysis/synthesis pass exchanges a
-halo of boundary rows over ICI instead of gathering the plane.
+parallelism"): when a plane is too large for one chip's HBM, its rows are
+sharded across the mesh and each analysis/synthesis pass exchanges a halo
+of boundary rows over ICI instead of gathering the plane.
 
 Design (operator-slice formulation, consistent with the dense-banded MXU
 path in ops/wavelets.py rather than a tap-loop translation):
@@ -21,46 +21,76 @@ path in ops/wavelets.py rather than a tap-loop translation):
   (ops/wavelets.py:_fold_symmetric), and every window stays inside [0, N),
   so the wrap-around garbage rows a circular ppermute delivers to the edge
   devices are never read.
+- Coarse levels whose per-device coefficient rows would drop below the
+  halo are computed REPLICATED (their bands are tiny — a few hundred KB —
+  so the gather is noise next to the finest level's matmuls); the sharded
+  finest levels carry ~94% of the FLOPs and all of the memory pressure.
 
-The production pipeline shards over planes (a 1600x2000 plane is ~12.8 MB
-— far below HBM), so this path exists for the beyond-HBM geometry case and
-as the scaling mechanism the mesh design calls for; exactness is tested on
-the 8-device CPU mesh against the unsharded operators.
+:func:`destripe_y_sharded` runs the full production filter semantics on
+this layout — multi-level, per-plane float16-sigmoid classifier, per-plane
+Otsu thresholds, masked-median inpainting, delta synthesis, and the
+flat-field / wrap epilogues (reference filtering.py:139-224 at level=None)
+— and is selected automatically by ``runtime.pipeline.make_device_step``
+when a plane exceeds ``DESTRIPE_HALO_THRESHOLD_BYTES`` (the production
+1600x2000 planes are ~12.8 MB and shard over the plane axis instead).
+Exactness is gated on the 8-device CPU mesh against the unsharded kernel
+(tests/test_halo_sharding.py).
 """
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import wavelets as W
+from ..ops.filter import (
+    DestripePlan,
+    _filter_level,
+    classify_planes,
+    wrap_cast,
+)
 
 __all__ = [
     "banded_apply_y_sharded",
     "dwt2_y_sharded",
     "idwt2_y_sharded",
     "destripe_y_sharded",
+    "halo_constants",
 ]
 
 
+class OpShards(NamedTuple):
+    """Device-sharded form of one banded operator: the per-device operator
+    slices plus the gather metadata. Arrays may be numpy (host planning) or
+    jax (device arguments through a jit boundary)."""
+
+    slices: jax.Array  # (D, Mq, Wc) per-device operator slice
+    c0s: jax.Array  # (D,) input-column start of each device's window
+    row_idx: jax.Array  # (M,) global gather dropping per-block pad rows
+
+
 def _plan_op_shards(OP: np.ndarray, N: int, D: int):
-    """Split a banded (M, N) operator into D row blocks; returns the stacked
-    per-device slices, their input-column starts, the global row-gather
-    index, the padded block row count, and the halo K.
+    """Split a banded (M, N) operator into D row blocks; returns
+    (OpShards-of-numpy, halo K, padded N).
 
     Output rows are assigned PROPORTIONALLY (device d gets rows
     [floor(d*M/D), floor((d+1)*M/D))), which keeps each block's input window
     aligned with the device's own input shard for any band slope (stride-2
     analysis, stride-1/2 synthesis) — an even ceil(M/D) split drifts by
     ~2 rows per device and the halo would grow with the device count."""
+    OP = np.asarray(OP)
+    if N % D:
+        # pad input rows to a multiple of the mesh axis; the matching zero
+        # operator columns keep the result exact
+        N_pad = -(-N // D) * D
+        OP = np.pad(OP, [(0, 0), (0, N_pad - N)])
+        N = N_pad
     M = OP.shape[0]
-    assert N % D == 0, f"input rows {N} must divide the mesh axis {D}"
     Nq = N // D
     r0 = [M * d // D for d in range(D + 1)]
     Mq = max(r0[d + 1] - r0[d] for d in range(D))
@@ -88,36 +118,20 @@ def _plan_op_shards(OP: np.ndarray, N: int, D: int):
         rows = OP[r0[d] : r0[d + 1], c0 : c0 + Wc]
         slices[d, : rows.shape[0]] = rows
         K = max(K, d * Nq - c0, (c0 + Wc) - (d + 1) * Nq, 0)
-    assert K <= Nq, (
-        f"halo {K} exceeds shard height {Nq}: too many devices for {N} rows"
-    )
-    return slices, c0s, row_idx, Mq, K
+    return OpShards(slices, c0s, row_idx), K, N
 
 
-def banded_apply_y_sharded(
-    x: jax.Array,  # (B, N, W), shardable on axis 1
-    OP: np.ndarray,  # (M, N) banded operator (numpy, host)
+def _apply_shards(
+    x: jax.Array,  # (B, N_pad, W), rows shardable over mesh[axis]
+    shards: OpShards,
+    halo: int,  # static: ppermute payload rows (>= planned K)
     mesh: Mesh,
     axis: str,
 ) -> jax.Array:
-    """Compute ``OP @ x`` along the row axis with x row-sharded over
-    ``mesh[axis]``: halo exchange + one dense per-shard matmul. Returns
-    (B, M, W), row-sharded."""
+    """``OP @ x`` along the row axis from a precomputed shard plan: halo
+    exchange + one dense per-shard matmul. Returns (B, M, W), row-sharded."""
     D = mesh.shape[axis]
-    B, N, Wd = x.shape
-    M = OP.shape[0]
-    OP = np.asarray(OP)
-    if N % D:
-        # pad input rows to a multiple of the mesh axis; the matching
-        # zero operator columns keep the result exact
-        N_pad = -(-N // D) * D
-        x = jnp.pad(x, [(0, 0), (0, N_pad - N), (0, 0)])
-        OP = np.pad(OP, [(0, 0), (0, N_pad - N)])
-        N = N_pad
-    slices, c0s, row_idx, Mq, K = _plan_op_shards(OP, N, D)
-    Nq = N // D
-    halo = max(K, 1)  # ppermute payloads must be non-empty
-
+    Nq = x.shape[1] // D
     fwd = [(i, (i + 1) % D) for i in range(D)]
     bwd = [(i, (i - 1) % D) for i in range(D)]
 
@@ -128,20 +142,44 @@ def banded_apply_y_sharded(
         assembled = jnp.concatenate([top, xl, bot], axis=1)
         # assembled covers global rows [d*Nq - halo, (d+1)*Nq + halo)
         start = c0_l[0] - (d * Nq - halo)
-        win = jax.lax.dynamic_slice_in_dim(assembled, start, slices.shape[2], 1)
-        return jnp.einsum(
-            "rw,bwx->brx", op_l[0], win, precision=W._PRECISION
+        win = jax.lax.dynamic_slice_in_dim(
+            assembled, start, op_l.shape[-1], 1
         )
+        return jnp.einsum("rw,bwx->brx", op_l[0], win, precision=W._PRECISION)
 
     out = shard_map(
         local,
         mesh=mesh,
         in_specs=(P(None, axis, None), P(axis, None, None), P(axis)),
         out_specs=P(None, axis, None),
-        check_rep=False,
-    )(x, jnp.asarray(slices), jnp.asarray(c0s))
+        # the body's only collectives are the two explicit ppermutes and the
+        # outputs are genuinely device-varying; vma tracking adds nothing
+        check_vma=False,
+    )(x, jnp.asarray(shards.slices), jnp.asarray(shards.c0s))
     # drop per-block padding rows (proportional blocks may be uneven)
-    return out[:, jnp.asarray(row_idx)]
+    return out[:, jnp.asarray(shards.row_idx)]
+
+
+def banded_apply_y_sharded(
+    x: jax.Array,  # (B, N, W), shardable on axis 1
+    OP: np.ndarray,  # (M, N) banded operator (numpy, host)
+    mesh: Mesh,
+    axis: str,
+) -> jax.Array:
+    """Compute ``OP @ x`` along the row axis with x row-sharded over
+    ``mesh[axis]``, planning the operator shards on the fly (eager
+    convenience; jitted callers precompute via :func:`halo_constants` so the
+    operator slices enter as device arguments). Returns (B, M, W)."""
+    D = mesh.shape[axis]
+    N = x.shape[1]
+    shards, K, N_pad = _plan_op_shards(OP, N, D)
+    assert K <= N_pad // D, (
+        f"halo {K} exceeds shard height {N_pad // D}: too many devices "
+        f"for {N} rows"
+    )
+    if N_pad != N:
+        x = jnp.pad(x, [(0, 0), (0, N_pad - N), (0, 0)])
+    return _apply_shards(x, shards, max(K, 1), mesh, axis)
 
 
 def dwt2_y_sharded(
@@ -188,16 +226,10 @@ def idwt2_y_sharded(
         S_x = S_x[: out_shape[1]]
     P_ = W._PRECISION
     lo_y = jnp.einsum(
-        "bhw,ow->bho",
-        jnp.concatenate([ca, cv], axis=-1),
-        S_x,
-        precision=P_,
+        "bhw,ow->bho", jnp.concatenate([ca, cv], axis=-1), S_x, precision=P_
     )
     hi_y = jnp.einsum(
-        "bhw,ow->bho",
-        jnp.concatenate([ch, cd], axis=-1),
-        S_x,
-        precision=P_,
+        "bhw,ow->bho", jnp.concatenate([ch, cd], axis=-1), S_x, precision=P_
     )
 
     S_y = W.synthesis_operator(L_yc, wav.name)  # (out_h, 2L_y)
@@ -208,36 +240,174 @@ def idwt2_y_sharded(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Production filter on the Y-sharded layout
+# ---------------------------------------------------------------------------
+
+
+def halo_constants(plan: DestripePlan, n_devices: int):
+    """Host-side shard planning for :func:`destripe_y_sharded` at one
+    geometry/mesh size: per level, the OpShards of the analysis y lo/hi and
+    synthesis y lo/hi operators. Returns ``(arrays, static)``:
+
+    - ``arrays``: a pytree of numpy arrays — pass it THROUGH the jit
+      boundary as an argument (device-resident), like ``plan.constants()``;
+      at beyond-HBM geometry the summed slices are ~1/D of the dense
+      operators, the dominant operand.
+    - ``static``: per-level python metadata (halo rows, padded input rows,
+      whether the level runs sharded at all) — close over it at trace time;
+      it sizes the ppermute payloads so it must stay static.
+
+    A level runs sharded only when every one of its four operators' halos
+    fits inside one device's row shard; coarser levels fall back to
+    replicated compute (their bands are tiny)."""
+    dense = plan.constants(dense_only=True)
+    D = int(n_devices)
+    arrays: dict = {}
+    static: dict = {}
+    for lvl in range(plan.n_levels):
+        an_y = dense["an_y"][lvl]
+        syn_y = dense["syn_y"][plan.n_levels - 1 - lvl]  # same level, syn order
+        L_h = an_y.shape[0] // 2
+        N_in = an_y.shape[1]
+        ops = {
+            "an_lo": (an_y[:L_h], N_in),
+            "an_hi": (an_y[L_h:], N_in),
+            "syn_lo": (syn_y[:, : syn_y.shape[1] // 2], syn_y.shape[1] // 2),
+            "syn_hi": (syn_y[:, syn_y.shape[1] // 2 :], syn_y.shape[1] // 2),
+        }
+        lvl_arrays, lvl_static, feasible = {}, {}, True
+        for name, (OP, N) in ops.items():
+            shards, K, N_pad = _plan_op_shards(OP, N, D)
+            if K > N_pad // D:
+                feasible = False
+                break
+            lvl_arrays[name] = shards
+            lvl_static[name] = {"halo": max(K, 1), "n_pad": N_pad}
+        if not feasible:
+            # coarser operators only shrink further: every deeper level is
+            # replicated too, so stop planning here
+            static[lvl] = None
+            break
+        arrays[lvl] = lvl_arrays
+        static[lvl] = lvl_static
+    return arrays, static
+
+
+def _apply_planned(x, arrs, meta, mesh, axis):
+    n_pad = meta["n_pad"]
+    if x.shape[1] != n_pad:
+        x = jnp.pad(x, [(0, 0), (0, n_pad - x.shape[1]), (0, 0)])
+    return _apply_shards(x, OpShards(*arrs), meta["halo"], mesh, axis)
+
+
 def destripe_y_sharded(
-    x: jax.Array,  # (B, H, W) float32/uint16, rows shardable over the mesh
+    x: jax.Array,  # (B, H, W) uint16/float, rows shardable over the mesh
     mesh: Mesh,
-    sigma: float,
-    max_threshold: float,
-    wavelet_name: str = "db3",
+    plan: DestripePlan,
+    consts=None,  # plan.constants(dense_only=True) pytree (device arg)
+    halo_arrays=None,  # halo_constants arrays pytree (device arg)
+    halo_static=None,  # halo_constants static dict (trace-time)
+    *,
     axis: str = "z",
+    microscope_high_int: float = 2700.0,
+    flat: Optional[jax.Array] = None,
+    dark: Optional[jax.Array] = None,
+    wrap: bool = False,
 ) -> jax.Array:
-    """Single-level log-space destripe with the ROW axis sharded over the
-    mesh (reference filtering.py:139-224 semantics at level=1): sharded
-    analysis via halo exchange, per-plane Otsu/median/notch on the
-    row-sharded cH band (the per-plane reductions lower to mesh collectives
-    through sharding propagation), sharded synthesis. For planes that exceed
-    a single chip's memory; the production path shards over planes instead.
-    """
-    from ..ops import fft_notch
-    from ..ops.filter import FilterConfig, _filter_level
+    """Full-semantics destripe with the ROW axis sharded over the mesh
+    (reference filtering.py:139-224): per-plane float16-sigmoid classifier,
+    multi-level analysis (sharded y-passes via halo exchange, local
+    x-passes), per-plane Otsu + masked-median inpainting + notch filtering
+    of every cH band, delta synthesis, and the flat-field / wrap epilogue.
+    Matches ``destripe_batch`` on gathered output (<= 1 uint16 LSB; XLA
+    vectorizes reductions differently per shard extent).
 
-    B, H, Wd = x.shape
-    xlog = jnp.log(1.0 + x.astype(jnp.float32))
-    ca, (ch, cv, cd) = dwt2_y_sharded(xlog, wavelet_name, mesh, axis)
+    For planes that exceed a single chip's memory — the production path
+    shards over planes instead (runtime/pipeline.py) and selects this one
+    above ``DESTRIPE_HALO_THRESHOLD_BYTES``. Levels whose coefficient rows
+    no longer cover the halo run replicated (see :func:`halo_constants`);
+    the filter math is the dense XLA formulation (no Pallas programs —
+    those assume whole-plane blocks in one chip's VMEM)."""
+    if consts is None:
+        consts = plan.constants(dense_only=True)
+    if halo_static is None:
+        halo_arrays, halo_static = halo_constants(plan, mesh.shape[axis])
+    P_ = jax.lax.Precision.HIGH
 
-    s = ch.shape[1] * sigma / min(H, Wd)
-    bmat = jnp.asarray(
-        fft_notch.packed_notch_matrix(ch.shape[2], float(s)).astype(np.float32).T
-    )
-    bmat_cat = jnp.concatenate([bmat, bmat], axis=1)
-    all_cells = jnp.ones((B,), bool)
-    ch_f = _filter_level(ch, all_cells, bmat_cat, max_threshold, max_threshold)
+    xf = x.astype(jnp.float32)
+    xlog = jnp.log(1.0 + xf)
+    if plan.n_levels == 0:
+        out0 = jnp.exp(xlog) + 1.0
+    else:
+        is_cells = classify_planes(xf, microscope_high_int)
 
-    rec = idwt2_y_sharded(ca, (ch_f, cv, cd), wavelet_name, mesh, axis,
-                          out_shape=(H, Wd))
-    return jnp.exp(rec) + 1.0
+        def y_apply(a, lvl, which):
+            meta = halo_static.get(lvl)
+            if meta is not None:
+                return _apply_planned(
+                    a, halo_arrays[lvl][which], meta[which], mesh, axis
+                )
+            # replicated coarse level: dense einsum on the (tiny) band
+            an_y = jnp.asarray(consts["an_y"][lvl])
+            syn_y = jnp.asarray(consts["syn_y"][plan.n_levels - 1 - lvl])
+            L_h = an_y.shape[0] // 2
+            OP = {
+                "an_lo": an_y[:L_h],
+                "an_hi": an_y[L_h:],
+                "syn_lo": syn_y[:, : syn_y.shape[1] // 2],
+                "syn_hi": syn_y[:, syn_y.shape[1] // 2 :],
+            }[which]
+            return jnp.einsum("ih,bhw->biw", OP, a, precision=P_)
+
+        # analysis, finest -> coarsest (x-lowpass first: it halves the width
+        # while the y-pass expands it — same order as destripe_batch)
+        chs = []
+        a = xlog
+        for lvl in range(plan.n_levels):
+            lox_w = jnp.einsum(
+                "bhw,jw->bhj", a, jnp.asarray(consts["an_x_lo"][lvl]),
+                precision=P_,
+            )
+            chs.append(y_apply(lox_w, lvl, "an_hi"))
+            a = y_apply(lox_w, lvl, "an_lo")
+
+        # filter every cH band, coarsest first (dense formulation — exact
+        # same numerics as the unsharded dense path)
+        deltas = []
+        for j, (ch, bm_cat) in enumerate(
+            zip(reversed(chs), consts["notch_cat"])
+        ):
+            deltas.append(
+                _filter_level(
+                    ch,
+                    is_cells,
+                    jnp.asarray(bm_cat),
+                    plan.cells.max_threshold,
+                    plan.no_cells.max_threshold,
+                    pallas=False,
+                )
+                - ch
+            )
+
+        # delta synthesis, coarsest -> finest
+        corr = None
+        for i, delta in enumerate(deltas):
+            lvl = plan.n_levels - 1 - i
+            L_h = consts["an_y"][lvl].shape[0] // 2
+            stacked = y_apply(delta, lvl, "syn_hi")
+            if corr is not None:
+                stacked = stacked + y_apply(corr[:, :L_h, :], lvl, "syn_lo")
+            corr = jnp.einsum(
+                "biw,jw->bij", stacked,
+                jnp.asarray(consts["syn_x_lo"][i]), precision=P_,
+            )
+        out0 = jnp.exp(xlog + corr) + 1.0
+
+    if flat is not None:
+        from ..ops.flatfield import flatfield_correction
+
+        return flatfield_correction(out0, flat, dark)
+    if wrap:
+        return wrap_cast(out0)
+    return out0

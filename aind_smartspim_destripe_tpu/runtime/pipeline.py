@@ -95,6 +95,14 @@ def make_device_step(plan: DestripePlan, microscope_high_int: float,
     the full kernel (Pallas programs included, via shard_map) on its shard.
     Flats and operator constants are replicated.
 
+    When one plane is too large for a single chip (plane f32 bytes above
+    ``DESTRIPE_HALO_THRESHOLD_BYTES``, default 1 GiB), the same mesh shards
+    the ROW axis instead and the step runs the Y-halo-sharded kernel
+    (parallel/halo.py): halo exchange over ICI per wavelet pass, coarse
+    levels replicated, identical filter semantics on the dense math path.
+    Dual-band has no halo form (blend-before-epilogue assumes whole planes)
+    and raises above the threshold.
+
     The returned callable carries helpers for the caller's data placement:
     ``.put(chunk)`` shards/transfers a (B, H, W) numpy batch, ``.put_const``
     replicates per-tile constants, ``.n_devices`` the mesh size.
@@ -130,6 +138,20 @@ def make_device_step(plan: DestripePlan, microscope_high_int: float,
             )
         return destripe_batch(
             plan, images, microscope_high_int, consts, wrap=True
+        )
+
+    plane_bytes = plan.height * plan.width * 4
+    halo_threshold = int(
+        os.environ.get("DESTRIPE_HALO_THRESHOLD_BYTES", str(1 << 30))
+    )
+    if n_dev > 1 and plane_bytes > halo_threshold:
+        if dual:
+            raise ValueError(
+                "dual-band has no Y-halo-sharded form; lower the plane size "
+                "or raise DESTRIPE_HALO_THRESHOLD_BYTES"
+            )
+        return _make_halo_step(
+            plan, microscope_high_int, with_flatfield, devices
         )
 
     if n_dev == 1:
@@ -169,6 +191,42 @@ def make_device_step(plan: DestripePlan, microscope_high_int: float,
     fn = lambda images, flat, dark: step(images, flat, dark, consts)
     fn.n_devices = n_dev
     fn.put = lambda chunk: jax.device_put(chunk, in_spec)
+    fn.put_const = lambda c: jax.device_put(c, rep)
+    return fn
+
+
+def _make_halo_step(plan, microscope_high_int, with_flatfield, devices):
+    """Device step for beyond-single-chip planes: ROWS sharded over the 1-D
+    z mesh via the halo-exchange kernel (parallel/halo.py). Same uint16 ->
+    uint16 contract as the plane-sharded step; batches stay small (each
+    plane's rows occupy the whole mesh)."""
+    from ..parallel.halo import destripe_y_sharded, halo_constants
+
+    mesh = Mesh(np.asarray(devices), ("z",))
+    n_dev = len(devices)
+    row_spec = NamedSharding(mesh, P(None, "z", None))
+    rep = NamedSharding(mesh, P())
+    dense = plan.constants(dense_only=True)
+    halo_arrays, halo_static = halo_constants(plan, n_dev)
+    consts = jax.device_put(dense, rep)
+    harrs = jax.device_put(halo_arrays, rep)
+
+    @partial(jax.jit, donate_argnums=(0,), out_shardings=row_spec)
+    def step(images, flat, dark, consts, harrs):
+        if with_flatfield:
+            return destripe_y_sharded(
+                images, mesh, plan, consts, harrs, halo_static,
+                microscope_high_int=microscope_high_int,
+                flat=flat, dark=dark,
+            )
+        return destripe_y_sharded(
+            images, mesh, plan, consts, harrs, halo_static,
+            microscope_high_int=microscope_high_int, wrap=True,
+        )
+
+    fn = lambda images, flat, dark: step(images, flat, dark, consts, harrs)
+    fn.n_devices = n_dev
+    fn.put = lambda chunk: jax.device_put(chunk, row_spec)
     fn.put_const = lambda c: jax.device_put(c, rep)
     return fn
 

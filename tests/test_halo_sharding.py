@@ -70,28 +70,123 @@ def test_halo_guard_rejects_too_many_shards():
         banded_apply_y_sharded(x, A[: A.shape[0] // 2], mesh, "z")
 
 
-def test_destripe_y_sharded_matches_unsharded():
-    """End-to-end single-level destripe with rows sharded over the mesh must
-    match the unsharded kernel (reference level=1 semantics)."""
+def _mixed_batch(H=320, W=256):
+    """Planes that exercise BOTH classifier branches: a dim striped
+    background plane and a bright cells-like plane."""
+    rng = np.random.default_rng(3)
+    stripes = (rng.normal(size=(1, H, 1)) * 50) * np.ones((1, 1, W))
+    dim = 300 + stripes[0]
+    bright = 3000 + stripes[0] + rng.normal(size=(H, W)) * 40
+    return np.clip(np.stack([dim, bright]), 0, 65535).astype(np.uint16)
+
+
+def _plan(H, W, level=None):
+    from aind_smartspim_destripe_tpu.ops.filter import (
+        FilterConfig, build_plan,
+    )
+
+    cells = FilterConfig(wavelet="db3", level=level, sigma=64.0,
+                         max_threshold=4.0)
+    no_cells = FilterConfig(wavelet="db3", level=level, sigma=128.0,
+                            max_threshold=12.0)
+    return build_plan(H, W, cells, no_cells)
+
+
+def test_destripe_y_sharded_matches_production_kernel():
+    """Multi-level destripe with rows sharded over the mesh must match
+    destripe_batch: per-plane classifier, per-level Otsu, delta synthesis
+    (level=None production semantics), both epilogues."""
     import os
 
     mesh = _mesh()
-    os.environ["DESTRIPE_NO_PALLAS"] = "1"  # CPU mesh: jnp fallback path
+    os.environ["DESTRIPE_NO_PALLAS"] = "1"  # CPU mesh: dense path
     try:
-        from aind_smartspim_destripe_tpu.ops.filter import log_space_fft_filtering
-        from aind_smartspim_destripe_tpu.parallel.halo import destripe_y_sharded
-
-        rng = np.random.default_rng(3)
-        img = np.clip(
-            300 + (rng.normal(size=(2, 160, 1)) * 50) * np.ones((1, 1, 64)),
-            0, 65535,
-        ).astype(np.uint16)
-        got = np.asarray(
-            destripe_y_sharded(jnp.asarray(img), mesh, sigma=128.0,
-                               max_threshold=12.0)
+        from aind_smartspim_destripe_tpu.ops.filter import destripe_batch
+        from aind_smartspim_destripe_tpu.parallel.halo import (
+            destripe_y_sharded, halo_constants,
         )
-        want = log_space_fft_filtering(
-            img, wavelet="db3", level=1, sigma=128, max_threshold=12
+
+        img = _mixed_batch()
+        plan = _plan(*img.shape[1:])
+        assert plan.n_levels >= 4  # multi-level, with a replicated tail
+        _, static = halo_constants(plan, mesh.shape["z"])
+        assert static.get(0) is not None  # finest level genuinely sharded
+        assert any(v is None for v in static.values()) or len(static) < plan.n_levels
+
+        want = np.asarray(
+            destripe_batch(plan, jnp.asarray(img, jnp.float32), 2700.0)
+        )
+        got = np.asarray(
+            destripe_y_sharded(jnp.asarray(img), mesh, plan,
+                               microscope_high_int=2700.0)
+        )
+        np.testing.assert_allclose(got, want, atol=0.5, rtol=1e-4)
+
+        # wrap epilogue (uint16 zarr cast): <= 1 LSB vs unsharded
+        got_w = np.asarray(
+            destripe_y_sharded(jnp.asarray(img), mesh, plan,
+                               microscope_high_int=2700.0, wrap=True)
+        )
+        from aind_smartspim_destripe_tpu.ops.filter import wrap_cast
+
+        want_w = np.asarray(wrap_cast(jnp.asarray(want)))
+        assert got_w.dtype == np.uint16
+        assert np.abs(got_w.astype(np.int32) - want_w.astype(np.int32)).max() <= 1
+
+        # flat-field epilogue
+        H, W_ = img.shape[1:]
+        flat = 1.0 + 0.1 * np.outer(
+            np.hanning(H), np.hanning(W_)
+        ).astype(np.float32)
+        dark = np.zeros((H, W_), np.float32)
+        from aind_smartspim_destripe_tpu.ops.flatfield import (
+            flatfield_correction,
+        )
+
+        got_f = np.asarray(
+            destripe_y_sharded(jnp.asarray(img), mesh, plan,
+                               microscope_high_int=2700.0,
+                               flat=jnp.asarray(flat), dark=jnp.asarray(dark))
+        )
+        want_f = np.asarray(
+            flatfield_correction(jnp.asarray(want), jnp.asarray(flat),
+                                 jnp.asarray(dark))
+        )
+        assert np.abs(got_f.astype(np.int32) - want_f.astype(np.int32)).max() <= 1
+    finally:
+        os.environ.pop("DESTRIPE_NO_PALLAS", None)
+
+
+def test_destripe_y_sharded_jitted_with_device_constants():
+    """The production form: halo shard plans ride the jit boundary as
+    ARGUMENTS (device-resident), not embedded literals."""
+    import os
+
+    mesh = _mesh()
+    os.environ["DESTRIPE_NO_PALLAS"] = "1"
+    try:
+        from functools import partial
+
+        from aind_smartspim_destripe_tpu.parallel.halo import (
+            destripe_y_sharded, halo_constants,
+        )
+
+        img = _mixed_batch()
+        plan = _plan(*img.shape[1:])
+        consts = plan.constants(dense_only=True)
+        harrs, hstatic = halo_constants(plan, mesh.shape["z"])
+
+        @partial(jax.jit)
+        def step(x, consts, harrs):
+            return destripe_y_sharded(
+                x, mesh, plan, consts, harrs, hstatic,
+                microscope_high_int=2700.0,
+            )
+
+        got = np.asarray(step(jnp.asarray(img), consts, harrs))
+        want = np.asarray(
+            destripe_y_sharded(jnp.asarray(img), mesh, plan,
+                               microscope_high_int=2700.0)
         )
         np.testing.assert_allclose(got, want, atol=0.5, rtol=1e-4)
     finally:

