@@ -35,6 +35,7 @@ import ctypes
 import ctypes.util
 import os
 import struct
+from typing import Optional
 
 import numpy as np
 
@@ -542,6 +543,9 @@ def _load_native():
 
 
 def _n_codec_threads() -> int:
+    env = os.environ.get("DESTRIPE_CODEC_THREADS")
+    if env:
+        return max(1, int(env))
     return min(32, os.cpu_count() or 4)
 
 
@@ -552,6 +556,7 @@ def compress_batch(
     shuffle: int = SHUFFLE,
     cname: str = "zstd",
     copy: bool = False,
+    threads: Optional[int] = None,
 ) -> list:
     """Encode many frames in ONE native call (the C++ runtime fans the
     batch over its own threads — no per-chunk Python dispatch). Falls back
@@ -592,7 +597,7 @@ def compress_batch(
     outl = (ctypes.c_longlong * n)()
     rc = lib.blosc1_compress_batch(
         n, srcs, lens, typesize, clevel, shuffle, dsts, dcaps, outl,
-        _n_codec_threads(),
+        threads or _n_codec_threads(),
     )
     if rc != 0:
         return [compress(c, typesize, clevel, shuffle, cname) for c in chunks]
@@ -605,7 +610,7 @@ def compress_batch(
     return [bytes(v) for v in views] if copy else views
 
 
-def decompress_batch(frames: list) -> list:
+def decompress_batch(frames: list, threads: Optional[int] = None) -> list:
     """Decode many blosc1 frames in ONE native call; python fallback per
     frame for anything the native path rejects."""
     lib = _load_native()
@@ -629,7 +634,7 @@ def decompress_batch(frames: list) -> list:
         dcaps = (ctypes.c_size_t * k)(*[caps[i] for i in idx])
         outl = (ctypes.c_longlong * k)()
         rc = lib.blosc1_decompress_batch(k, srcs, lens, dsts, dcaps, outl,
-                                         _n_codec_threads())
+                                         threads or _n_codec_threads())
         if rc == 0:
             for j, i in enumerate(idx):
                 native_ok[i] = outl[j] == nbytes[i]

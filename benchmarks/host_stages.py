@@ -107,6 +107,50 @@ def bench_codec(threads, repeats=3):
     return enc, dec
 
 
+def bench_codec_batch_threads(threads_list, repeats=4):
+    """Thread-scaling of the NATIVE one-call batch API
+    (csrc blosc1_{compress,decompress}_batch): the per-chip codec budget in
+    BENCH_E2E.md extrapolates single-core rates through this fan-out, so a
+    production host should run exactly this sweep:
+
+        python benchmarks/host_stages.py --batch-sweep
+
+    On a 1-vCPU box the threads serialize — the flat/declining curve that
+    produces is the expected signal there, not a defect."""
+    slab = _striped_slab()
+    raw_chunks = [np.frombuffer(c, np.uint16).reshape(CHUNK) for c in _chunks_of(slab)]
+    nbytes = sum(c.nbytes for c in raw_chunks)
+    if blosc._load_native() is None:
+        print(json.dumps({"metric": "host_codec_batch_sweep",
+                          "error": "native runtime unavailable"}))
+        return []
+    rows = []
+    for t in threads_list:
+        frames = blosc.compress_batch(raw_chunks, typesize=2, threads=t)  # warm
+        best_e = best_d = 0.0
+        for _ in range(repeats):  # best-of: the shared vCPU is noisy +-25%
+            t0 = time.perf_counter()
+            frames = blosc.compress_batch(raw_chunks, typesize=2, threads=t)
+            best_e = max(best_e, nbytes / (time.perf_counter() - t0) / 1e9)
+        frames = [bytes(f) for f in frames]
+        blosc.decompress_batch(frames, threads=t)  # warm
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            blosc.decompress_batch(frames, threads=t)
+            best_d = max(best_d, nbytes / (time.perf_counter() - t0) / 1e9)
+        row = {
+            "metric": "host_codec_batch_sweep",
+            "threads": t,
+            "encode_gbs": round(best_e, 3),
+            "decode_gbs": round(best_d, 3),
+            "host_cpus": os.cpu_count(),
+            "unit": "GB/s best-of-%d" % repeats,
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    return rows
+
+
 def bench_zarr_store(slabs):
     tmp = tempfile.mkdtemp()
     arr = ZarrArray.create(
@@ -137,7 +181,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--threads", type=int, default=min(32, os.cpu_count() or 4))
     ap.add_argument("--slabs", type=int, default=4)
+    ap.add_argument(
+        "--batch-sweep", action="store_true",
+        help="native batch-API thread scaling at 1/2/4/8 threads, then exit",
+    )
     args = ap.parse_args()
+
+    if args.batch_sweep:
+        bench_codec_batch_threads([1, 2, 4, 8])
+        return
 
     enc, dec = bench_codec(args.threads)
     rd, wr = bench_zarr_store(args.slabs)

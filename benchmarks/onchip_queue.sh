@@ -14,7 +14,7 @@ export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_axon_cach
   timeout 1800 python benchmarks/kernel_sweep.py deeppack
   # 3. blend rows_tile sweep (dual step)
   timeout 1800 python benchmarks/kernel_sweep.py blend
-  # 4. BASELINE config 2 re-measure
-  timeout 1500 python benchmarks/run_configs.py 2
+  # 4. BASELINE configs 1 (latency decomposition, VERDICT r3 #5) and 2
+  timeout 1500 python benchmarks/run_configs.py 1 2
   echo "=== onchip queue done $(date -u) ==="
 } >> /tmp/onchip_queue.log 2>&1

@@ -99,10 +99,53 @@ def config1():
     t0 = time.perf_counter()
     _ = float(np.asarray(loop(plan, n_it, img, consts)))
     dt = time.perf_counter() - t0
+    step_ms = dt / n_it * 1e3
     print(json.dumps({
         "metric": "config1_single_slice_device_floor",
         "value": round(img.size * n_it / dt / 1e6, 1), "unit": "MPix/s",
-        "ms_per_slice": round(dt / n_it * 1e3, 2),
+        "ms_per_slice": round(step_ms, 2),
+    }), flush=True)
+
+    # Latency decomposition of ONE dispatch (VERDICT r3 #5): compile-cache
+    # hit + H2D + B=1 step + D2H, each synced with a real data pull
+    # (block_until_ready alone is unreliable over the axon tunnel). On the
+    # dev tunnel H2D/D2H ride ~25 MB/s + ~35 ms RTT — the production-floor
+    # field swaps them for PCIe gen3 x16 (~12 GB/s, one-way each) around
+    # the measured on-device step; the step itself is hardware truth.
+    host_img = _striped(1, 2048, 2048)
+    nbytes = host_img.nbytes
+
+    t0 = time.perf_counter()
+    dev = jax.device_put(host_img)
+    dev.block_until_ready()
+    h2d_s = time.perf_counter() - t0
+
+    # cache-hit dispatch incl. RTT: one full call, synced by a 1-px pull
+    out = f(dev, consts)
+    _ = np.asarray(out[..., :1, :1])
+    t0 = time.perf_counter()
+    out = f(dev, consts)
+    _ = np.asarray(out[..., :1, :1])
+    dispatch_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    full = np.asarray(out)
+    d2h_s = time.perf_counter() - t0
+    assert full.shape == (1, 2048, 2048)
+
+    pcie_gbs = 12.0
+    prod_floor_s = step_ms / 1e3 + 2 * (nbytes / (pcie_gbs * 1e9))
+    print(json.dumps({
+        "metric": "config1_latency_decomposition",
+        "h2d_ms": round(h2d_s * 1e3, 1),
+        "dispatch_plus_rtt_ms": round(dispatch_s * 1e3, 1),
+        "d2h_ms": round(d2h_s * 1e3, 1),
+        "device_step_ms": round(step_ms, 2),
+        "prod_floor_ms": round(prod_floor_s * 1e3, 2),
+        "prod_floor_mpix_s": round(img.size / prod_floor_s / 1e6, 1),
+        "note": "prod floor = measured device step + 2x 8MiB over PCIe "
+                "~12 GB/s; tunnel transfer/RTT columns are dev-harness "
+                "artifacts",
     }), flush=True)
 
 
