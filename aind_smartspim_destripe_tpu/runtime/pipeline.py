@@ -226,6 +226,7 @@ def _make_halo_step(plan, microscope_high_int, with_flatfield, devices):
 
     fn = lambda images, flat, dark: step(images, flat, dark, consts, harrs)
     fn.n_devices = n_dev
+    fn.shards_rows = True  # batch need not divide the mesh; rows do
     fn.put = lambda chunk: jax.device_put(chunk, row_spec)
     fn.put_const = lambda c: jax.device_put(c, rep)
     return fn
@@ -302,9 +303,6 @@ class StreamingDestriper:
             list(devices) if devices is not None else list(jax.local_devices())
         )
         n_dev = max(1, len(self.devices))
-        # each dispatch shards its batch over the z mesh axis — round the
-        # compiled batch up so every shard gets an equal plane count
-        self.device_batch = -(-device_batch // n_dev) * n_dev
         self.prefetch = max(1, prefetch)
         self.logger = logger or logging.getLogger(__name__)
         self.io = ThreadPoolExecutor(
@@ -341,6 +339,14 @@ class StreamingDestriper:
             plan, microscope_high_int, self.with_flat, devices=self.devices,
             dual=dual, crossover=crossover, dual_threshold=dual_threshold,
         )
+        # Plane-sharded step: round the compiled batch up so every shard
+        # gets an equal plane count. The halo step shards ROWS instead —
+        # rounding its batch to n_dev multiples would inflate memory by up
+        # to n_dev-1 beyond-HBM planes per dispatch.
+        if getattr(self._step, "shards_rows", False):
+            self.device_batch = max(1, device_batch)
+        else:
+            self.device_batch = -(-device_batch // n_dev) * n_dev
         self._flat = self._step.put_const(flat)
         self._dark = self._step.put_const(dark)
 

@@ -43,7 +43,7 @@ def main():
         "no_cells_config": {"wavelet": "db3", "level": None, "sigma": 128, "max_threshold": 12},
         "cells_config": {"wavelet": "db3", "level": None, "sigma": 64, "max_threshold": 3},
     }
-    stats = zd.destripe_channel(
+    run_channel = lambda: zd.destripe_channel(
         zarr_dataset_path=root,
         derivatives_path=None,
         channel_name="Ex_488_Em_525",
@@ -53,7 +53,25 @@ def main():
         laser_tiles=laser_tiles,
         parameters=params,
     )
+    stats = run_channel()
     gs = global_stats(np.array([pid + 1.0, 1.0]))
+
+    # Resume interplay (VERDICT r3 #6): leave the channel HALF-completed —
+    # process 0 invalidates the journals of the first tile each process
+    # owns — then both processes resume the whole channel. Owners must skip
+    # exactly the still-committed slabs and recompute the invalidated ones.
+    ch_out = f"{root}/results/destriped_data/Ex_488_Em_525"
+    tile_names = sorted(json.load(open(f"{root}/laser_tiles.json"))["0"])
+    invalidated = [f"{tile_names[0]}.zarr", f"{tile_names[1]}.zarr"]
+    global_stats(np.array([1.0]))  # barrier: all first-run journals on disk
+    if pid == 0:
+        for t in invalidated:
+            # the journal lives next to the level-0 chunks (pipeline.py
+            # joins output_array.path, which is <tile>.zarr/0)
+            os.remove(f"{ch_out}/{t}/0/.destripe_journal.json")
+    global_stats(np.array([1.0]))  # barrier: tampering visible everywhere
+    stats2 = run_channel()
+
     json.dump(
         {
             "process_id": pid,
@@ -61,6 +79,10 @@ def main():
             "tiles": sorted(stats),
             "planes": {k: v.planes for k, v in stats.items()},
             "global_stats": np.asarray(gs).tolist(),
+            "resume_tiles": sorted(stats2),
+            "resume_planes": {k: v.planes for k, v in stats2.items()},
+            "resume_skipped": {k: v.slabs_skipped for k, v in stats2.items()},
+            "invalidated": invalidated,
         },
         open(out_json, "w"),
     )

@@ -106,3 +106,26 @@ def test_two_process_destripe_channel(tmp_path):
         assert (tile_out / "1" / ".zarray").exists()
         attrs = json.load(open(tile_out / ".zattrs"))
         assert len(attrs["omero"]["channels"]) == 1
+
+    # resume interplay (VERDICT r3 #6): the worker invalidated the journals
+    # of two tiles (one per owner) and both processes re-ran the channel —
+    # ownership must be unchanged, journal-skips must happen PER OWNER
+    # (intact-journal tiles skip all slabs / recompute 0 planes) and only
+    # the invalidated tiles recompute.
+    invalidated = set(reports[0]["invalidated"])
+    for r in reports:
+        assert sorted(r["resume_tiles"]) == sorted(r["tiles"])
+        for t in r["resume_tiles"]:
+            if t in invalidated:
+                assert r["resume_planes"][t] == Z, (t, r["resume_planes"])
+                assert r["resume_skipped"][t] == 0
+            else:
+                assert r["resume_planes"][t] == 0, (t, r["resume_planes"])
+                assert r["resume_skipped"][t] >= 1
+    # each owner recomputed exactly one invalidated tile
+    recomputed = [
+        {t for t in r["resume_tiles"] if r["resume_planes"][t] == Z}
+        for r in reports
+    ]
+    assert recomputed[0] | recomputed[1] == invalidated
+    assert all(len(s) == 1 for s in recomputed)
