@@ -26,6 +26,16 @@ path in ops/wavelets.py rather than a tap-loop translation):
   so the gather is noise next to the finest level's matmuls); the sharded
   finest levels carry ~94% of the FLOPs and all of the memory pressure.
 
+Operator memory scaling (honest accounting): the sharded Y operators cost
+O(H²/D) total across the mesh (each device holds a (M/D, H/D + 2K) slice),
+but the X-pass operators stay DENSE and replicated — (W/2, W) f32 per
+level, ~0.5 GB at W = 16k — because the X axis is never sharded (the
+notch/FFT axis must stay whole on-chip). At the 1 GiB default threshold
+(~16k × 16k planes) the per-device X-operator total (~1.3 GB over the
+level ladder) fits v5e HBM alongside a small row-sharded batch; planes
+several times larger would need a banded/convolutional X formulation
+before raising the threshold.
+
 :func:`destripe_y_sharded` runs the full production filter semantics on
 this layout — multi-level, per-plane float16-sigmoid classifier, per-plane
 Otsu thresholds, masked-median inpainting, delta synthesis, and the

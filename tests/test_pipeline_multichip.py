@@ -138,6 +138,53 @@ def test_streaming_pipeline_auto_halo_matches_plane_sharding(monkeypatch):
         assert out_halo.any()
 
 
+def test_destripe_zarr_e2e_auto_halo(tmp_path, monkeypatch):
+    """destripe_zarr end-to-end with the halo route forced on: output store
+    (level 0 + pyramid + metadata) must match the single-device plane-path
+    run to <= 1 LSB."""
+    monkeypatch.setenv("DESTRIPE_NO_PALLAS", "1")
+    data_dir = tmp_path / "data"
+    os.makedirs(data_dir)
+    vol = _vol(4)
+    tile = group(str(data_dir / "471320_461360.zarr"))
+    lvl0 = tile.create_dataset(
+        0, shape=(1, 1, Z, H, W), chunks=(1, 1, 8, 64, 64), dtype=np.uint16
+    )
+    lvl0[:] = vol[None, None]
+
+    levels = {}
+    for tag in ("plane", "halo"):
+        if tag == "halo":
+            monkeypatch.setenv("DESTRIPE_HALO_THRESHOLD_BYTES", "1024")
+        results = tmp_path / f"results_{tag}"
+        os.makedirs(results)
+        zd.destripe_zarr(
+            dataset_path=data_dir / "471320_461360.zarr",
+            multiscale="0",
+            output_destriped_zarr=results / "Ex_488_Em_525" / "471320_461360.zarr",
+            prediction_chunksize=(8, H, W),
+            target_size_mb=64,
+            n_workers=0,
+            batch_size=1,
+            super_chunksize=(16, H, W),
+            results_folder=results,
+            derivatives_path=None,
+            xyz_resolution=(1.8, 1.8, 2.0),
+            parameters=PARAMETERS,
+            flatfield=np.full((H, W), 1.25, np.float32),
+            devices=jax.devices()[:1] if tag == "plane" else None,
+        )
+        if tag == "halo":
+            monkeypatch.delenv("DESTRIPE_HALO_THRESHOLD_BYTES")
+        t = open_zarr(str(results / "Ex_488_Em_525" / "471320_461360.zarr"))
+        levels[tag] = [np.asarray(t[str(i)][:]) for i in range(3)]
+
+    for lvl, (a, b) in enumerate(zip(levels["plane"], levels["halo"])):
+        d = a.astype(int) - b.astype(int)
+        assert np.abs(d).max() <= 1, f"level {lvl}"
+    assert levels["halo"][0].any()
+
+
 def test_halo_step_rejects_dual():
     import pytest as _pytest
 
