@@ -538,6 +538,22 @@ def _load_native():
         ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(ctypes.c_longlong),
         ctypes.c_int,
     ]
+    ll = ctypes.c_longlong
+    if hasattr(lib, "blosc1_compress_slab"):
+        lib.blosc1_compress_slab.restype = ctypes.c_int
+        lib.blosc1_compress_slab.argtypes = [
+            ctypes.c_void_p, ll, ll, ll, ll, ll,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_ulonglong, pp,
+            ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(ll), ctypes.c_int,
+        ]
+        lib.blosc1_decompress_slab.restype = ctypes.c_int
+        lib.blosc1_decompress_slab.argtypes = [
+            pp, ctypes.POINTER(ctypes.c_size_t), ctypes.c_void_p,
+            ll, ll, ll, ll, ll,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_ulonglong, ctypes.c_int,
+        ]
     _native = lib
     return lib
 
@@ -608,6 +624,103 @@ def compress_batch(
         dst_np[int(offs[i]) : int(offs[i]) + outl[i]].data for i in range(n)
     ]
     return [bytes(v) for v in views] if copy else views
+
+
+def _fill_pattern(fill_value, dtype) -> int:
+    """Little-endian byte pattern of one ``fill_value`` element as an int
+    (what the native slab codecs stamp into pad/missing cells)."""
+    b = np.asarray(fill_value if fill_value is not None else 0, dtype).tobytes()
+    return int.from_bytes(b, "little")
+
+
+def compress_slab(
+    arr: np.ndarray,  # 3-D slab view, x-contiguous (strides[-1]==itemsize)
+    chunks,  # (cz, cy, cx)
+    clevel: int = 3,
+    shuffle: int = SHUFFLE,
+    fill_value=0,
+    threads: Optional[int] = None,
+):
+    """Gather+encode the whole chunk grid of a strided 3-D slab in ONE
+    native call (csrc blosc1_compress_slab): no intermediate chunk arrays,
+    the slab->chunk copy happens in-cache right before the encode. Returns
+    grid-ordered (C order) zero-copy memoryview frames, or ``None`` when the
+    native path is unavailable/ineligible (caller falls back)."""
+    lib = _load_native()
+    if not lib or not hasattr(lib, "blosc1_compress_slab"):
+        return None
+    arr = np.asarray(arr)
+    ts = arr.itemsize
+    if arr.ndim != 3 or arr.strides[-1] != ts or ts > 8:
+        return None
+    cz, cy, cx = (int(c) for c in chunks)
+    sz, sy, sx = arr.shape
+    nz, ny, nx = -(-sz // cz), -(-sy // cy), -(-sx // cx)
+    n = nz * ny * nx
+    cap = cz * cy * cx * ts + 16 + 4096
+    dst_np = np.empty(n * cap, np.uint8)
+    base = dst_np.ctypes.data
+    dsts = (ctypes.c_char_p * n)(*[base + i * cap for i in range(n)])
+    dcaps = (ctypes.c_size_t * n)(*([cap] * n))
+    outl = (ctypes.c_longlong * n)()
+    rc = lib.blosc1_compress_slab(
+        arr.ctypes.data, sz, sy, sx, arr.strides[0], arr.strides[1],
+        cz, cy, cx, ts, clevel, shuffle,
+        _fill_pattern(fill_value, arr.dtype),
+        dsts, dcaps, outl, threads or _n_codec_threads(),
+    )
+    if rc != 0:
+        return None
+    return [dst_np[i * cap : i * cap + outl[i]].data for i in range(n)]
+
+
+def decompress_slab(
+    frames: list,  # grid-ordered frames; None entries = missing chunks
+    out: np.ndarray,  # 3-D slab view to scatter into (x-contiguous)
+    chunks,
+    fill_value=0,
+    threads: Optional[int] = None,
+) -> bool:
+    """Decode+scatter a whole chunk grid into a strided 3-D slab in ONE
+    native call (csrc blosc1_decompress_slab). Returns False when the
+    native path is unavailable/ineligible or any frame fails (caller falls
+    back; ``out`` contents are then undefined)."""
+    lib = _load_native()
+    if not lib or not hasattr(lib, "blosc1_decompress_slab"):
+        return False
+    ts = out.itemsize
+    if out.ndim != 3 or out.strides[-1] != ts or ts > 8:
+        return False
+    cz, cy, cx = (int(c) for c in chunks)
+    sz, sy, sx = out.shape
+    n = (-(-sz // cz)) * (-(-sy // cy)) * (-(-sx // cx))
+    if len(frames) != n:
+        return False
+    chunk_bytes = cz * cy * cx * ts
+    keep = []
+    srcs = (ctypes.c_char_p * n)()
+    lens = (ctypes.c_size_t * n)()
+    for i, f in enumerate(frames):
+        if f is None:
+            srcs[i], lens[i] = None, 0
+            continue
+        b = f if isinstance(f, bytes) else bytes(f)
+        # native decode covers memcpy/zstd/lz4/blosclz/snappy, full-chunk
+        # frames only
+        if len(b) < 16 or struct.unpack("<I", b[4:8])[0] != chunk_bytes:
+            return False
+        code = (b[2] >> 5) & 0x07
+        if code not in (0, 1, 2, 4) and not (b[2] & 0x02):
+            return False
+        keep.append(b)
+        srcs[i] = b
+        lens[i] = len(b)
+    rc = lib.blosc1_decompress_slab(
+        srcs, lens, out.ctypes.data, sz, sy, sx,
+        out.strides[0], out.strides[1], cz, cy, cx, ts,
+        _fill_pattern(fill_value, out.dtype), threads or _n_codec_threads(),
+    )
+    return rc == 0
 
 
 def decompress_batch(frames: list, threads: Optional[int] = None) -> list:

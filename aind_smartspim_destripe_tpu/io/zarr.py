@@ -74,6 +74,20 @@ class BloscCodec:
     def decode_batch(self, frames: list) -> list:
         return _blosc.decompress_batch(frames)
 
+    def encode_slab(self, arr, chunks, fill_value):
+        """Whole chunk grid of a strided 3-D slab in one native call (the
+        gather copy fuses with the encode — see blosc.compress_slab);
+        None -> caller falls back to the per-chunk path."""
+        if self.cname != "zstd":
+            return None
+        return _blosc.compress_slab(
+            arr, chunks, clevel=self.clevel, shuffle=self.shuffle,
+            fill_value=fill_value,
+        )
+
+    def decode_slab(self, frames, out, chunks, fill_value) -> bool:
+        return _blosc.decompress_slab(frames, out, chunks, fill_value=fill_value)
+
 
 class ZlibCodec:
     def __init__(self, level=1):
@@ -512,6 +526,29 @@ class ZarrArray:
             dst_sel.append(slice(s_lo - lo, s_hi - lo))
         return tuple(src_sel), tuple(dst_sel)
 
+    def _grid_view(self, bounds, arr):
+        """(arr3, chunks3) for the native slab codecs — a (z, y, x) view of
+        ``arr`` whose selection is exactly a chunk-grid-aligned block — or
+        None when the selection/layout is ineligible. Leading dims (beyond
+        the last three) must be unit-extent with unit chunks, so the task
+        list's C order equals the 3-D grid order."""
+        nd = len(self.shape)
+        for d, ((lo, hi), c, n) in enumerate(zip(bounds, self.chunks, self.shape)):
+            if d < nd - 3:
+                if c != 1 or hi - lo != 1:
+                    return None
+            elif lo % c != 0 or (hi != n and hi % c != 0) or hi <= lo:
+                return None
+        if arr.ndim < 3:
+            arr = arr[(None,) * (3 - arr.ndim)]
+        else:
+            arr = arr.reshape(arr.shape[-3:]) if arr.ndim > 3 else arr
+        if arr.strides[-1] != arr.itemsize:
+            return None
+        return arr, tuple(self.chunks[-3:]) if nd >= 3 else (
+            (1,) * (3 - nd) + tuple(self.chunks)
+        )
+
     def __getitem__(self, key) -> np.ndarray:
         bounds, int_axes = _normalize_selection(key, self.shape)
         out_shape = tuple(hi - lo for lo, hi in bounds)
@@ -524,6 +561,26 @@ class ZarrArray:
             tuple(r[i] for r, i in zip(ranges, cidx))
             for cidx in np.ndindex(*[len(r) for r in ranges])
         ]
+
+        if (
+            len(tasks) >= 8
+            and not self.filters
+            and hasattr(self.codec, "decode_slab")
+        ):
+            # slab fast path: threaded raw reads, then ONE native call that
+            # decodes AND scatters into `out` (no intermediate chunk arrays)
+            gv = self._grid_view(bounds, out)
+            if gv is not None:
+                def read_raw(cid):
+                    p = self._chunk_path(cid)
+                    if not os.path.exists(p):
+                        return None
+                    with open(p, "rb") as f:
+                        return f.read()
+
+                raws = list(_pool.map(read_raw, tasks))
+                if self.codec.decode_slab(raws, gv[0], gv[1], self.fill_value):
+                    return out.squeeze(axis=int_axes) if int_axes else out
 
         if (
             len(tasks) >= 8
@@ -606,6 +663,30 @@ class ZarrArray:
                 chunk = self.read_chunk(cid)
             chunk[tuple(dst_sel)] = value[tuple(src_sel)]
             return chunk
+
+        if (
+            len(tasks) >= 8
+            and not self.filters
+            and hasattr(self.codec, "encode_slab")
+        ):
+            # slab fast path: ONE native call gathers each grid chunk from
+            # the strided source and encodes it in-cache (no 2 MB/chunk
+            # assemble copies), then threaded file writes
+            gv = self._grid_view(bounds, value)
+            if gv is not None:
+                frames = self.codec.encode_slab(gv[0], gv[1], self.fill_value)
+                if frames is not None:
+                    def write_frame(args):
+                        cid, frame = args
+                        p = self._chunk_path(cid)
+                        self._ensure_dir(os.path.dirname(p))
+                        tmp = p + ".partial"
+                        with open(tmp, "wb") as f:
+                            f.write(frame)
+                        os.replace(tmp, p)
+
+                    list(_pool.map(write_frame, zip(tasks, frames)))
+                    return
 
         if (
             len(tasks) >= 8

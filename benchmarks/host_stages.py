@@ -163,17 +163,25 @@ def bench_zarr_store(slabs):
     nbytes = slab.nbytes
 
     arr[0:1, 0:1, 0:Z] = slab[None, None]  # warm
-    t0 = time.perf_counter()
+    # best-of per slab: the shared vCPU swings far more than +-25% when
+    # anything else runs; a sum over slabs reports the noise, not the stage
+    best_w = float("inf")
     for k in range(slabs):
+        t0 = time.perf_counter()
         arr[0:1, 0:1, k * Z : (k + 1) * Z] = slab[None, None]
-    wr = _report("host_zarr_write_slab", nbytes * slabs, time.perf_counter() - t0)
+        best_w = min(best_w, time.perf_counter() - t0)
+    wr = _report("host_zarr_write_slab", nbytes, best_w,
+                 {"timing": f"best-of-{slabs} slabs"})
 
     os.sync()  # drain writeback so the read phase isn't polluted by it
     _ = np.asarray(arr[0, 0, 0:Z])  # warm
-    t0 = time.perf_counter()
+    best_r = float("inf")
     for k in range(slabs):
+        t0 = time.perf_counter()
         _ = np.asarray(arr[0, 0, k * Z : (k + 1) * Z])
-    rd = _report("host_zarr_read_slab", nbytes * slabs, time.perf_counter() - t0)
+        best_r = min(best_r, time.perf_counter() - t0)
+    rd = _report("host_zarr_read_slab", nbytes, best_r,
+                 {"timing": f"best-of-{slabs} slabs"})
     return rd, wr
 
 

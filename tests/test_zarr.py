@@ -102,6 +102,53 @@ def test_group_tree_and_reopen(tmp_path):
     np.testing.assert_array_equal(t["0"][0, 0, 3], np.ones((32, 32), np.uint16))
 
 
+def test_slab_fast_path_matches_per_chunk(tmp_path):
+    """The native slab gather+encode / decode+scatter path (>= 8 aligned
+    chunks) must be indistinguishable from the per-chunk path: ragged
+    edges, missing chunks, 5-D leading dims, float fill, and non-aligned
+    selections (which must fall back, not corrupt)."""
+    rng = np.random.default_rng(0)
+    Z, H, W = 16, 256, 500  # W ragged vs the 128 chunk
+    vol = rng.integers(0, 65535, size=(Z, H, W), dtype=np.uint16)
+
+    a = ZarrArray.create(str(tmp_path / "a"), (Z, H, W), (8, 128, 128),
+                         np.uint16, fill_value=7)
+    a[:, :, :] = vol
+    np.testing.assert_array_equal(a[:, :, :], vol)
+    # every chunk file stays decodable by the pure-python codec
+    raw = open(str(tmp_path / "a" / "1" / "1" / "3"), "rb").read()
+    assert len(blosc.decompress_py(raw)) == 8 * 128 * 128 * 2
+
+    # aligned read with never-written chunks -> fill_value
+    b = ZarrArray.create(str(tmp_path / "b"), (Z, H, W), (8, 128, 128),
+                         np.uint16, fill_value=7)
+    b[0:8] = vol[0:8]
+    got = b[:, :, :]
+    np.testing.assert_array_equal(got[0:8], vol[0:8])
+    assert (got[8:] == 7).all()
+
+    # 5-D production layout through the same path
+    c = ZarrArray.create(str(tmp_path / "c"), (1, 1, Z, H, W),
+                         (1, 1, 8, 128, 128), np.uint16)
+    c[0:1, 0:1, 0:Z] = vol[None, None]
+    np.testing.assert_array_equal(c[0, 0], vol)
+
+    # non-aligned selection falls back and stays correct
+    a[:, 3:200, 17:400] = np.zeros((Z, 197, 383), np.uint16)
+    chk = a[:, :, :]
+    assert (chk[:, 3:200, 17:400] == 0).all()
+    np.testing.assert_array_equal(chk[:, :3], vol[:, :3])
+
+    # float dtype with non-integer fill pattern
+    d = ZarrArray.create(str(tmp_path / "d"), (16, 256, 256), (8, 128, 128),
+                         np.float32, fill_value=1.5)
+    fv = rng.normal(size=(8, 256, 256)).astype(np.float32)
+    d[0:8] = fv
+    gotf = d[:, :, :]
+    np.testing.assert_array_equal(gotf[0:8], fv)
+    assert (gotf[8:] == 1.5).all()
+
+
 def test_write_recovers_from_externally_removed_dirs(tmp_path):
     """_ensure_dir memoizes created directories; if the store tree is
     removed externally mid-run (cleanup / retry recreating the store), a
