@@ -149,6 +149,33 @@ def test_slab_fast_path_matches_per_chunk(tmp_path):
     assert (gotf[8:] == 1.5).all()
 
 
+def test_slab_fast_path_geometry_fuzz(tmp_path):
+    """Seeded geometry fuzz: random shapes/chunks/aligned+unaligned
+    selections must round-trip identically whether or not the native slab
+    path engages (it decides per call; this pins the decision logic)."""
+    rng = np.random.default_rng(7)
+    for case in range(12):
+        nd = int(rng.integers(1, 4))
+        shape = tuple(int(rng.integers(3, 40)) for _ in range(nd))
+        chunks = tuple(int(rng.integers(2, s + 3)) for s in shape)
+        p = str(tmp_path / f"f{case}")
+        arr = ZarrArray.create(p, shape, chunks, np.uint16,
+                               fill_value=int(rng.integers(0, 100)))
+        ref = np.full(shape, arr.fill_value, np.uint16)
+        for _ in range(3):
+            sel = tuple(
+                slice(lo := int(rng.integers(0, s)),
+                      int(rng.integers(lo + 1, s + 1)))
+                for s in shape
+            )
+            val = rng.integers(0, 65535,
+                               size=tuple(s.stop - s.start for s in sel),
+                               dtype=np.uint16)
+            arr[sel] = val
+            ref[sel] = val
+            np.testing.assert_array_equal(arr[tuple(slice(0, s) for s in shape)], ref)
+
+
 def test_write_recovers_from_externally_removed_dirs(tmp_path):
     """_ensure_dir memoizes created directories; if the store tree is
     removed externally mid-run (cleanup / retry recreating the store), a
