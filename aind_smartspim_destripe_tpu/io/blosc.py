@@ -415,7 +415,11 @@ def decompress_py(frame: bytes | memoryview) -> bytes:
         "<BBBBIII", frame[:16]
     )
     if flags & 0x02:  # memcpyed
+        if len(frame) < 16 + nbytes:
+            raise ValueError("truncated blosc frame")
         return frame[16 : 16 + nbytes]
+    if nbytes == 0:
+        return b""
     code = (flags >> 5) & 0x07
     if code == 4:
         if _zstd is None:  # pragma: no cover
@@ -429,6 +433,10 @@ def decompress_py(frame: bytes | memoryview) -> bytes:
             # Bound the inflate at the declared (sub-)stream length like the
             # lz4/snappy/blosclz decoders: a crafted zlib stream must not be
             # able to expand past `hint` before the final length check.
+            # hint=0 would mean UNLIMITED to zlib — nothing legitimate
+            # decodes a 0-byte sub-stream from a nonzero payload.
+            if hint <= 0:
+                raise ValueError("zlib block with zero declared length")
             obj = zlib.decompressobj()
             out = obj.decompress(bytes(b), hint)
             if obj.unconsumed_tail or not obj.eof or obj.unused_data:
@@ -561,7 +569,12 @@ def _load_native():
 def _n_codec_threads() -> int:
     env = os.environ.get("DESTRIPE_CODEC_THREADS")
     if env:
-        return max(1, int(env))
+        try:
+            return max(1, int(env))
+        except ValueError:
+            raise ValueError(
+                f"DESTRIPE_CODEC_THREADS must be an integer, got {env!r}"
+            ) from None
     return min(32, os.cpu_count() or 4)
 
 

@@ -344,17 +344,26 @@ def tiff_imwrite(
         next_fmt = "I"
         ifd_size = struct.calcsize("H") + 12 * 10 + struct.calcsize("I")
 
-    # layout: header | page payloads | IFD chain
-    payloads, comp_tags = [], []
-    for p in pages:
-        payload, comp_tag = _page_payload(bo, p, compression_level)
-        payloads.append(payload)
-        comp_tags.append(comp_tag)
+    # layout: header | page payloads | IFD chain. Uncompressed payloads are
+    # emitted per page while writing (their length is just p.nbytes — a
+    # multi-GB stack must not be duplicated in memory); only compressed
+    # payloads (small) are materialized up front to learn their sizes.
+    if compression_level is None:
+        payloads = None
+        payload_lens = [int(p.nbytes) for p in pages]
+        comp_tags = [1] * len(pages)
+    else:
+        payloads, comp_tags = [], []
+        for p in pages:
+            payload, comp_tag = _page_payload(bo, p, compression_level)
+            payloads.append(payload)
+            comp_tags.append(comp_tag)
+        payload_lens = [len(pl) for pl in payloads]
     payload_offsets = []
     pos = header_size
-    for payload in payloads:
+    for n in payload_lens:
         payload_offsets.append(pos)
-        pos += len(payload)
+        pos += n
     ifd_offsets = [pos + i * ifd_size for i in range(len(pages))]
 
     with open(path, "wb") as f:
@@ -363,9 +372,13 @@ def tiff_imwrite(
                     + struct.pack(bo + "Q", ifd_offsets[0]))
         else:
             f.write(b"II" + struct.pack(bo + "H", 42) + struct.pack(bo + "I", ifd_offsets[0]))
-        for payload in payloads:
-            f.write(payload)
+        if payloads is None:
+            for p in pages:
+                f.write(_page_payload(bo, p)[0])
+        else:
+            for payload in payloads:
+                f.write(payload)
         for i, (p, off) in enumerate(zip(pages, payload_offsets)):
-            ifd = _build_page_ifd(bo, bigtiff, p, off, len(payloads[i]), comp_tags[i])
+            ifd = _build_page_ifd(bo, bigtiff, p, off, payload_lens[i], comp_tags[i])
             nxt = ifd_offsets[i + 1] if i + 1 < len(pages) else 0
             f.write(ifd + struct.pack(bo + next_fmt, nxt))

@@ -483,16 +483,17 @@ class ZarrArray:
             return arr.astype(self.dtype, copy=False).reshape(self.chunks).copy()
         return np.frombuffer(buf, dtype=self.dtype).reshape(self.chunks).copy()
 
-    def write_chunk(self, cidx: Tuple[int, ...], data: np.ndarray):
-        """Encode one full-shape chunk."""
-        assert data.shape == self.chunks, (data.shape, self.chunks)
-        buf = np.ascontiguousarray(data, dtype=self.dtype)
-        if self.filters:
-            arr = buf
-            for f in self.filters:
-                arr = f.encode(arr)
-            buf = np.ascontiguousarray(arr)
-        frame = self.codec.encode(buf.tobytes(), self._stored_dtype.itemsize if self.filters else self.itemsize)
+    def _read_raw(self, cidx: Tuple[int, ...]) -> Optional[bytes]:
+        """Raw frame bytes of one chunk, or None when missing."""
+        p = self._chunk_path(cidx)
+        if not os.path.exists(p):
+            return None
+        with open(p, "rb") as f:
+            return f.read()
+
+    def _write_frame(self, cidx: Tuple[int, ...], frame):
+        """Atomically write one encoded frame (tmp + rename). The single
+        write site for every path — per-chunk, batch, and slab."""
         p = self._chunk_path(cidx)
         self._ensure_dir(os.path.dirname(p))
         tmp = p + ".partial"
@@ -507,6 +508,18 @@ class ZarrArray:
             with open(tmp, "wb") as f:
                 f.write(frame)
         os.replace(tmp, p)
+
+    def write_chunk(self, cidx: Tuple[int, ...], data: np.ndarray):
+        """Encode one full-shape chunk."""
+        assert data.shape == self.chunks, (data.shape, self.chunks)
+        buf = np.ascontiguousarray(data, dtype=self.dtype)
+        if self.filters:
+            arr = buf
+            for f in self.filters:
+                arr = f.encode(arr)
+            buf = np.ascontiguousarray(arr)
+        frame = self.codec.encode(buf.tobytes(), self._stored_dtype.itemsize if self.filters else self.itemsize)
+        self._write_frame(cidx, frame)
 
     def _chunk_range(self, bounds):
         return [
@@ -571,14 +584,7 @@ class ZarrArray:
             # decodes AND scatters into `out` (no intermediate chunk arrays)
             gv = self._grid_view(bounds, out)
             if gv is not None:
-                def read_raw(cid):
-                    p = self._chunk_path(cid)
-                    if not os.path.exists(p):
-                        return None
-                    with open(p, "rb") as f:
-                        return f.read()
-
-                raws = list(_pool.map(read_raw, tasks))
+                raws = list(_pool.map(self._read_raw, tasks))
                 if self.codec.decode_slab(raws, gv[0], gv[1], self.fill_value):
                     return out.squeeze(axis=int_axes) if int_axes else out
 
@@ -589,14 +595,7 @@ class ZarrArray:
         ):
             # bulk path: threaded raw file reads, ONE native batch decode,
             # then scatter — avoids per-chunk Python codec dispatch
-            def read_raw(cid):
-                p = self._chunk_path(cid)
-                if not os.path.exists(p):
-                    return None
-                with open(p, "rb") as f:
-                    return f.read()
-
-            raws = list(_pool.map(read_raw, tasks))
+            raws = list(_pool.map(self._read_raw, tasks))
             present = [i for i, r in enumerate(raws) if r is not None]
             bufs = self.codec.decode_batch([raws[i] for i in present])
             chunks = {}
@@ -676,16 +675,9 @@ class ZarrArray:
             if gv is not None:
                 frames = self.codec.encode_slab(gv[0], gv[1], self.fill_value)
                 if frames is not None:
-                    def write_frame(args):
-                        cid, frame = args
-                        p = self._chunk_path(cid)
-                        self._ensure_dir(os.path.dirname(p))
-                        tmp = p + ".partial"
-                        with open(tmp, "wb") as f:
-                            f.write(frame)
-                        os.replace(tmp, p)
-
-                    list(_pool.map(write_frame, zip(tasks, frames)))
+                    list(_pool.map(
+                        lambda a: self._write_frame(*a), zip(tasks, frames)
+                    ))
                     return
 
         if (
@@ -701,16 +693,9 @@ class ZarrArray:
                 self.itemsize,
             )
 
-            def write_frame(args):
-                cid, frame = args
-                p = self._chunk_path(cid)
-                self._ensure_dir(os.path.dirname(p))
-                tmp = p + ".partial"
-                with open(tmp, "wb") as f:
-                    f.write(frame)
-                os.replace(tmp, p)
-
-            list(_pool.map(write_frame, zip(tasks, frames)))
+            list(_pool.map(
+                lambda a: self._write_frame(*a), zip(tasks, frames)
+            ))
             return
 
         def put(cid):

@@ -825,6 +825,38 @@ def _filter_deep_tail(
     return deltas
 
 
+def normalize_flat_dark(height: int, width: int, flat, dark):
+    """Validate and normalize a (flat, dark) pair to the plane extent:
+    paired-or-absent check, reference darkfield crop (filtering.py:377),
+    2-D broadcast to (H, W) with a clear error. Shared by every step that
+    applies the flat-field epilogue (plane-sharded and Y-halo-sharded)."""
+    if (flat is None) != (dark is None):
+        raise ValueError(
+            "flat and dark must be provided together "
+            "(pass dark=jnp.zeros((1, 1)) for a zero darkfield)"
+        )
+    if flat is None:
+        return None, None
+    # Normalize both fields to the exact plane extent up front: the
+    # darkfield is cropped like the reference (filtering.py:377), then
+    # 2-D fields broadcast to (H, W) so broadcastable-but-not-exact
+    # inputs keep the fused Pallas epilogue; a shape that fits neither
+    # fails here with a clear error instead of deep in the epilogue.
+    hw = (height, width)
+    flat = jnp.asarray(flat, jnp.float32)
+    dark = jnp.asarray(dark, jnp.float32)[..., :height, :width]
+    if flat.ndim <= 2 and dark.ndim <= 2:
+        try:
+            flat = jnp.broadcast_to(flat, hw)
+            dark = jnp.broadcast_to(dark, hw)
+        except ValueError:
+            raise ValueError(
+                f"flat {flat.shape} / dark {dark.shape} do not "
+                f"broadcast to the plane extent {hw}"
+            )
+    return flat, dark
+
+
 # ---------------------------------------------------------------------------
 # The full batched kernel
 # ---------------------------------------------------------------------------
@@ -864,29 +896,7 @@ def destripe_batch(
             "dual mode returns both float32 bands; blend them before "
             "applying a flat-field or wrap epilogue"
         )
-    if (flat is None) != (dark is None):
-        raise ValueError(
-            "destripe_batch: flat and dark must be provided together "
-            "(pass dark=jnp.zeros((1, 1)) for a zero darkfield)"
-        )
-    if flat is not None:
-        # Normalize both fields to the exact plane extent up front: the
-        # darkfield is cropped like the reference (filtering.py:377), then
-        # 2-D fields broadcast to (H, W) so broadcastable-but-not-exact
-        # inputs keep the fused Pallas epilogue; a shape that fits neither
-        # fails here with a clear error instead of deep in the epilogue.
-        hw = (plan.height, plan.width)
-        flat = jnp.asarray(flat, jnp.float32)
-        dark = jnp.asarray(dark, jnp.float32)[..., : plan.height, : plan.width]
-        if flat.ndim <= 2 and dark.ndim <= 2:
-            try:
-                flat = jnp.broadcast_to(flat, hw)
-                dark = jnp.broadcast_to(dark, hw)
-            except ValueError:
-                raise ValueError(
-                    f"flat {flat.shape} / dark {dark.shape} do not "
-                    f"broadcast to the plane extent {hw}"
-                )
+    flat, dark = normalize_flat_dark(plan.height, plan.width, flat, dark)
 
     def epilogue(y):
         if flat is not None:

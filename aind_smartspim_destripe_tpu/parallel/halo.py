@@ -62,6 +62,7 @@ from ..ops.filter import (
     DestripePlan,
     _filter_level,
     classify_planes,
+    normalize_flat_dark,
     wrap_cast,
 )
 
@@ -343,6 +344,7 @@ def destripe_y_sharded(
         consts = plan.constants(dense_only=True)
     if halo_static is None:
         halo_arrays, halo_static = halo_constants(plan, mesh.shape[axis])
+    flat, dark = normalize_flat_dark(plan.height, plan.width, flat, dark)
     P_ = jax.lax.Precision.HIGH
 
     xf = x.astype(jnp.float32)

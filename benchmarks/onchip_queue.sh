@@ -1,15 +1,21 @@
 #!/bin/bash
 # On-chip measurement queue for TPU-tunnel recovery (ROADMAP round-3
-# session 4). Run from the repo root; logs to /tmp/onchip_queue.log.
+# session 4). Run from the repo root; logs to /tmp/onchip_queue.log AND
+# persists the full log + per-step JSON into benchmarks/results/ with an
+# automatic commit, so measurements taken by the unattended watcher
+# survive into the repo even if no interactive session is running.
 # Each step is bounded; a dead tunnel makes bench.py fail fast (device
 # probe), so this script is safe to fire blind.
 set -x
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_axon_cache}
+RESULTS=benchmarks/results
+mkdir -p "$RESULTS"
+STAMP=$(date -u +%Y%m%dT%H%M%S)
 {
   echo "=== onchip queue start $(date -u) ==="
   # 1. headline re-confirm (also proves the tunnel is actually up)
-  timeout 1500 python bench.py || exit 1
+  timeout 1500 python bench.py | tee "$RESULTS/bench_$STAMP.json" || exit 1
   # 2. deep-pack A/B (mask-free rewrite vs off) -> decide _DEEP_PACK default
   timeout 1800 python benchmarks/kernel_sweep.py deeppack
   # 3. blend rows_tile sweep (dual step)
@@ -18,3 +24,7 @@ export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_axon_cach
   timeout 1500 python benchmarks/run_configs.py 1 2
   echo "=== onchip queue done $(date -u) ==="
 } >> /tmp/onchip_queue.log 2>&1
+RC=$?
+cp /tmp/onchip_queue.log "$RESULTS/onchip_queue_$STAMP.log"
+git add "$RESULTS" && git commit -m "Record on-chip measurement queue results ($STAMP)"
+exit $RC

@@ -264,6 +264,45 @@ def test_truncated_split_stream_header_raises_valueerror():
         blosc.decompress_py(frame2)
 
 
+def test_zlib_zero_declared_length_rejected():
+    """hint=0 means UNLIMITED to zlib.decompressobj — a frame declaring
+    nbytes=0 with a zlib-bomb payload must be rejected before inflating
+    (round-4 review finding)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    bomb = _zlib.compress(b"\x00" * 50_000_000, 9)  # ~48 KB -> 50 MB
+    header = _struct.pack("<BBBBIII", 2, 1, 3 << 5, 1, 0, 0,
+                          16 + 4 + 4 + len(bomb))
+    frame = header + _struct.pack("<i", 24) + _struct.pack("<i", len(bomb)) + bomb
+    out = blosc.decompress_py(frame)  # nbytes=0 -> empty, no inflate
+    assert out == b""
+    # same bomb with nbytes=100, blocksize=100, split into 0-length declared
+    # sub-streams is impossible here (ssize=neblock), so also pin the direct
+    # hint<=0 rejection
+    header2 = _struct.pack("<BBBBIII", 2, 1, 3 << 5, 1, 100, 100,
+                           16 + 4 + 4 + len(bomb))
+    frame2 = header2 + _struct.pack("<i", 24) + _struct.pack("<i", len(bomb)) + bomb
+    with pytest.raises(ValueError):
+        blosc.decompress_py(frame2)
+
+
+def test_truncated_memcpy_frame_raises():
+    import struct as _struct
+
+    frame = _struct.pack("<BBBBIII", 2, 1, 0x02, 1, 100, 100, 16 + 10) + b"x" * 10
+    with pytest.raises(ValueError, match="truncated"):
+        blosc.decompress_py(frame)
+
+
+def test_codec_threads_env_validation(monkeypatch):
+    monkeypatch.setenv("DESTRIPE_CODEC_THREADS", "auto")
+    with pytest.raises(ValueError, match="DESTRIPE_CODEC_THREADS"):
+        blosc._n_codec_threads()
+    monkeypatch.setenv("DESTRIPE_CODEC_THREADS", "3")
+    assert blosc._n_codec_threads() == 3
+
+
 def test_compress_batch_copy_returns_independent_bytes():
     chunks = [np.arange(256, dtype=np.uint16) for _ in range(3)]
     frames = blosc.compress_batch(chunks, typesize=2, copy=True)

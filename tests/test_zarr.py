@@ -190,6 +190,18 @@ def test_write_recovers_from_externally_removed_dirs(tmp_path):
     arr[:, :] = np.full((4, 4), 3, np.uint16)
     np.testing.assert_array_equal(arr[:, :], np.full((4, 4), 3, np.uint16))
 
+    # the bulk (>= 8 chunks) slab/batch write paths share the same recovery
+    # (round-4 review: the first fix only covered the per-chunk path)
+    big = ZarrArray.create(
+        str(tmp_path / "rb"), (16, 128, 128), (8, 32, 32), np.uint16,
+        dimension_separator="/",
+    )
+    vol = np.arange(16 * 128 * 128, dtype=np.uint16).reshape(16, 128, 128)
+    big[:, :, :] = vol
+    shutil.rmtree(str(tmp_path / "rb" / "0"))
+    big[:, :, :] = vol
+    np.testing.assert_array_equal(big[:, :, :], vol)
+
 
 def test_overwrite_semantics(tmp_path):
     p = str(tmp_path / "o")
