@@ -24,7 +24,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["notch", "gaussian_filter", "packed_notch_matrix", "apply_notch"]
+__all__ = [
+    "notch",
+    "gaussian_filter",
+    "packed_notch_matrix",
+    "apply_notch",
+    "apply_notch_fft",
+]
 
 
 def notch(n: int, sigma: float) -> np.ndarray:
@@ -83,3 +89,19 @@ def packed_notch_matrix(n: int, sigma: float) -> np.ndarray:
 def apply_notch(rows: jax.Array, bmat: jax.Array) -> jax.Array:
     """Apply a precomputed notch operator to the last axis of ``rows``."""
     return jnp.matmul(rows, bmat.T, precision=jax.lax.Precision.HIGHEST)
+
+
+def apply_notch_fft(rows: jax.Array, sigma: float) -> jax.Array:
+    """The same packed-gain spectral map as :func:`packed_notch_matrix`
+    applied directly via rfft/irfft: O(n log n) compute and O(n) operator
+    bytes, where the dense matrix is O(n^2) both ways. Used by the Y-halo
+    kernel at beyond-HBM plane widths, where the per-level (w, 2w) notch
+    matrices stop fitting (the matmul form stays the default at production
+    widths — it runs on the MXU; TPU FFTs do not)."""
+    n = rows.shape[-1]
+    a, b = _packed_gains(n, notch(n, float(sigma)))
+    spec = jnp.fft.rfft(rows, axis=-1)
+    spec = jnp.asarray(a, spec.real.dtype) * spec.real + 1j * (
+        jnp.asarray(b, spec.real.dtype) * spec.imag
+    )
+    return jnp.fft.irfft(spec, n=n, axis=-1).astype(rows.dtype)

@@ -109,15 +109,23 @@ class DestripePlan:
     cells: FilterConfig
     no_cells: FilterConfig
 
-    def notch_matrices(self, dtype=np.float32):
+    def notch_matrices(self, dtype=np.float32, skip=None):
         """Per-level (cells, no_cells) notch operators, coarsest first.
 
         sigma_effective = rows(level) * sigma / min(H, W)
         (reference filtering.py:180,208-213: `s = fft.shape[0] * width_fraction`).
+
+        ``skip``: coarsest-first booleans — levels marked True get ``None``
+        instead of a pair (their O(w^2) matrices are never built; the
+        Y-halo kernel notches them spectrally via
+        :func:`fft_notch.apply_notch_fft` with :meth:`notch_sigmas`).
         """
         min_side = min(self.height, self.width)
         mats = []
-        for (h, w) in self.ladder:
+        for i, (h, w) in enumerate(self.ladder):
+            if skip is not None and skip[i]:
+                mats.append(None)
+                continue
             pair = []
             for cfg in (self.cells, self.no_cells):
                 s = h * cfg.sigma / min_side
@@ -127,7 +135,19 @@ class DestripePlan:
             mats.append(tuple(pair))
         return tuple(mats)
 
-    def constants(self, dense_only: bool = False):
+    def notch_sigmas(self):
+        """Per-level (cells, no_cells) effective notch sigmas, coarsest
+        first — the scalar inputs of :meth:`notch_matrices`, for callers
+        applying the notch spectrally instead of as a matmul."""
+        min_side = min(self.height, self.width)
+        return tuple(
+            (h * self.cells.sigma / min_side, h * self.no_cells.sigma / min_side)
+            for (h, _) in self.ladder
+        )
+
+    def constants(
+        self, dense_only: bool = False, banded_x_min_w: Optional[int] = None
+    ):
         """All large operator matrices as a pytree of numpy arrays, meant to
         be passed INTO a jitted kernel (device-resident) rather than baked
         into the graph — multi-MB HLO literal constants stall XLA's
@@ -155,22 +175,48 @@ class DestripePlan:
         notch_cat ((w, 2w): cells | no_cells notch operators fused so both
         bands come from a single MXU matmul)."""
         wav = wavelets.wavelet(self.wavelet)
+        # banded_x_min_w: levels at or above this x width carry NO dense x
+        # operators — their (w/2, w) matrices are O(w^2) on host and chip,
+        # infeasible at Y-halo plane widths; the halo kernel applies the
+        # blocked shift-invariant x-pass (wavelets.an_lo_pass_last /
+        # syn_lo_pass_last, O(flen) operator bytes) for those levels.
         an = wavelets.analysis_operators(
-            (self.height, self.width), wav, self.n_levels
+            (self.height, self.width), wav, self.n_levels,
+            x_skip_min=banded_x_min_w,
         )
         syn = wavelets.synthesis_operators(
-            (self.height, self.width), wav, self.n_levels
+            (self.height, self.width), wav, self.n_levels,
+            x_skip_min=banded_x_min_w,
         )
+        # coarsest-first skip flags matching the x-operator skips: ladder
+        # level i is produced by analysis level (n_levels - 1 - i), whose
+        # input width drives the skip decision for all three x-axis
+        # operators (an_x_lo, syn_x_lo, notch) of that level
+        w_in = []  # finest-first analysis input widths
+        w_cur = self.width
+        for _ in range(self.n_levels):
+            w_in.append(w_cur)
+            w_cur = wavelets.dwt_coeff_len(w_cur, wav.flen)
+        notch_skip = [
+            banded_x_min_w is not None
+            and w_in[self.n_levels - 1 - i] >= banded_x_min_w
+            for i in range(self.n_levels)
+        ]
         out = {
             "an_y": tuple(p[0] for p in an),
-            "an_x_lo": tuple(p[1][: p[1].shape[0] // 2] for p in an),
+            "an_x_lo": tuple(
+                None if p[1] is None else p[1][: p[1].shape[0] // 2]
+                for p in an
+            ),
             "syn_y": tuple(p[0] for p in syn),
             "syn_x_lo": tuple(
-                p[1][:, : p[1].shape[1] // 2] for p in syn
+                None if p[1] is None else p[1][:, : p[1].shape[1] // 2]
+                for p in syn
             ),
             "notch_cat": tuple(
-                np.concatenate([bc.T, bn.T], axis=1)
-                for (bc, bn) in self.notch_matrices()
+                None if pair is None
+                else np.concatenate([pair[0].T, pair[1].T], axis=1)
+                for pair in self.notch_matrices(skip=notch_skip)
             ),
         }
         # Blocked banded operators per bandable level (Pallas fast path,
@@ -565,12 +611,14 @@ def _filter_level(
     thr_no_cells: float,
     otsu_sqrt: Optional[jax.Array] = None,  # precomputed sqrt(otsu(ch^2))
     pallas: Optional[bool] = None,  # force the Pallas/dense split (None=auto)
+    notch_apply=None,  # (B,h,w)->(B,h,2w) spectral notch when bmat_cat=None
 ) -> jax.Array:
     w = ch.shape[-1]
     max_thr = jnp.where(is_cells, thr_cells, thr_no_cells)
 
     use_pallas = (
         (pallas_env.enabled() if pallas is None else pallas)
+        and bmat_cat is not None
         and ch.dtype == jnp.float32
         and ch.shape[-2] * ch.shape[-1] >= _PALLAS_MIN_PX
     )
@@ -611,9 +659,12 @@ def _filter_level(
     background_means = _row_median(background, pallas=False)
     background_inpainted = background + background_means * mask
 
-    both = jnp.matmul(
-        background_inpainted, bmat_cat, precision=jax.lax.Precision.HIGH
-    )
+    if bmat_cat is None:
+        both = notch_apply(background_inpainted)
+    else:
+        both = jnp.matmul(
+            background_inpainted, bmat_cat, precision=jax.lax.Precision.HIGH
+        )
     background_filtered = jnp.where(
         is_cells[:, None, None], both[..., :w], both[..., w:]
     )

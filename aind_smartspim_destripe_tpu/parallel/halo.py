@@ -27,14 +27,19 @@ path in ops/wavelets.py rather than a tap-loop translation):
   finest levels carry ~94% of the FLOPs and all of the memory pressure.
 
 Operator memory scaling (honest accounting): the sharded Y operators cost
-O(H²/D) total across the mesh (each device holds a (M/D, H/D + 2K) slice),
-but the X-pass operators stay DENSE and replicated — (W/2, W) f32 per
-level, ~0.5 GB at W = 16k — because the X axis is never sharded (the
-notch/FFT axis must stay whole on-chip). At the 1 GiB default threshold
-(~16k × 16k planes) the per-device X-operator total (~1.3 GB over the
-level ladder) fits v5e HBM alongside a small row-sharded batch; planes
-several times larger would need a banded/convolutional X formulation
-before raising the threshold.
+O(H²/D) total across the mesh (each device holds a (M/D, H/D + 2K) slice).
+The X axis is never sharded (each device's row shard runs its x-passes
+locally, whole-width), and its operators are width-gated: below
+``DESTRIPE_BANDED_X_MIN_W`` (default 8192) the levels use the dense
+(W/2, W) matmul operators and (w, 2w) notch matrices that the unsharded
+kernel uses — bit-identical numerics, MXU-optimal at production widths —
+while levels at or above it never build those O(W²) matrices at all:
+analysis/synthesis run the blocked shift-invariant x-passes
+(ops/wavelets.an_lo_pass_last / syn_lo_pass_last, O(flen) operator bytes)
+and the notch runs spectrally (ops/fft_notch.apply_notch_fft, O(W log W)).
+X-operator memory is therefore O(1) in plane width on the banded tier;
+what remains scaling is the Y-operator slices (O(H²/D)) and the row
+shards themselves.
 
 :func:`destripe_y_sharded` runs the full production filter semantics on
 this layout — multi-level, per-plane float16-sigmoid classifier, per-plane
@@ -49,6 +54,7 @@ Exactness is gated on the 8-device CPU mesh against the unsharded kernel
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -57,6 +63,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..ops import fft_notch
 from ..ops import wavelets as W
 from ..ops.filter import (
     DestripePlan,
@@ -68,11 +75,22 @@ from ..ops.filter import (
 
 __all__ = [
     "banded_apply_y_sharded",
+    "banded_x_min_w_default",
     "dwt2_y_sharded",
     "idwt2_y_sharded",
     "destripe_y_sharded",
     "halo_constants",
 ]
+
+
+def banded_x_min_w_default() -> int:
+    """Plane width (samples) at which the halo kernel's x-axis operators
+    switch from the dense matmul forms to the O(1)-operator-memory banded/
+    spectral forms. 8192 is 4x the production width: the dense forms
+    measured ~45% faster end to end at 2000 (wavelets.py constants note),
+    while the banded tier's FLOP advantage grows linearly with width —
+    by 8192 it is ~60x, safely past any crossover."""
+    return int(os.environ.get("DESTRIPE_BANDED_X_MIN_W", str(8192)))
 
 
 class OpShards(NamedTuple):
@@ -272,7 +290,9 @@ def halo_constants(plan: DestripePlan, n_devices: int):
     A level runs sharded only when every one of its four operators' halos
     fits inside one device's row shard; coarser levels fall back to
     replicated compute (their bands are tiny)."""
-    dense = plan.constants(dense_only=True)
+    # banded_x_min_w=1: only the Y operators are read here — never build
+    # the O(W^2) dense x/notch matrices just to plan row shards
+    dense = plan.constants(dense_only=True, banded_x_min_w=1)
     D = int(n_devices)
     arrays: dict = {}
     static: dict = {}
@@ -325,6 +345,7 @@ def destripe_y_sharded(
     flat: Optional[jax.Array] = None,
     dark: Optional[jax.Array] = None,
     wrap: bool = False,
+    banded_x_min_w: Optional[int] = None,
 ) -> jax.Array:
     """Full-semantics destripe with the ROW axis sharded over the mesh
     (reference filtering.py:139-224): per-plane float16-sigmoid classifier,
@@ -339,9 +360,15 @@ def destripe_y_sharded(
     above ``DESTRIPE_HALO_THRESHOLD_BYTES``. Levels whose coefficient rows
     no longer cover the halo run replicated (see :func:`halo_constants`);
     the filter math is the dense XLA formulation (no Pallas programs —
-    those assume whole-plane blocks in one chip's VMEM)."""
+    those assume whole-plane blocks in one chip's VMEM). Levels at or
+    above ``banded_x_min_w`` (default :func:`banded_x_min_w_default`) run
+    their x-passes in the banded/spectral O(1)-operator-memory forms —
+    the dense x operators for those levels are never built (``consts``
+    carries ``None`` there; see module docstring)."""
     if consts is None:
-        consts = plan.constants(dense_only=True)
+        if banded_x_min_w is None:
+            banded_x_min_w = banded_x_min_w_default()
+        consts = plan.constants(dense_only=True, banded_x_min_w=banded_x_min_w)
     if halo_static is None:
         halo_arrays, halo_static = halo_constants(plan, mesh.shape[axis])
     flat, dark = normalize_flat_dark(plan.height, plan.width, flat, dark)
@@ -373,31 +400,57 @@ def destripe_y_sharded(
             return jnp.einsum("ih,bhw->biw", OP, a, precision=P_)
 
         # analysis, finest -> coarsest (x-lowpass first: it halves the width
-        # while the y-pass expands it — same order as destripe_batch)
+        # while the y-pass expands it — same order as destripe_batch).
+        # Levels whose dense x operator was width-gated away (None) use the
+        # blocked shift-invariant lowpass pass instead (O(flen) operator).
+        wav_obj = W.wavelet(plan.wavelet)
         chs = []
         a = xlog
         for lvl in range(plan.n_levels):
-            lox_w = jnp.einsum(
-                "bhw,jw->bhj", a, jnp.asarray(consts["an_x_lo"][lvl]),
-                precision=P_,
-            )
+            an_x_lo = consts["an_x_lo"][lvl]
+            if an_x_lo is None:
+                lox_w = W.an_lo_pass_last(a, wav_obj)
+            else:
+                lox_w = jnp.einsum(
+                    "bhw,jw->bhj", a, jnp.asarray(an_x_lo), precision=P_
+                )
             chs.append(y_apply(lox_w, lvl, "an_hi"))
             a = y_apply(lox_w, lvl, "an_lo")
 
         # filter every cH band, coarsest first (dense formulation — exact
-        # same numerics as the unsharded dense path)
+        # same numerics as the unsharded dense path). Width-gated levels
+        # (notch matrix None) apply the identical packed-gain spectral map
+        # via rfft instead of the O(w^2) matmul operator.
+        sigmas = plan.notch_sigmas()
         deltas = []
         for j, (ch, bm_cat) in enumerate(
             zip(reversed(chs), consts["notch_cat"])
         ):
+            if bm_cat is None:
+                sig_c, sig_n = sigmas[j]
+
+                def notch_apply(rows, _sc=sig_c, _sn=sig_n):
+                    return jnp.concatenate(
+                        [
+                            fft_notch.apply_notch_fft(rows, _sc),
+                            fft_notch.apply_notch_fft(rows, _sn),
+                        ],
+                        axis=-1,
+                    )
+
+                bm_dev = None
+            else:
+                notch_apply = None
+                bm_dev = jnp.asarray(bm_cat)
             deltas.append(
                 _filter_level(
                     ch,
                     is_cells,
-                    jnp.asarray(bm_cat),
+                    bm_dev,
                     plan.cells.max_threshold,
                     plan.no_cells.max_threshold,
                     pallas=False,
+                    notch_apply=notch_apply,
                 )
                 - ch
             )
@@ -410,10 +463,19 @@ def destripe_y_sharded(
             stacked = y_apply(delta, lvl, "syn_hi")
             if corr is not None:
                 stacked = stacked + y_apply(corr[:, :L_h, :], lvl, "syn_lo")
-            corr = jnp.einsum(
-                "biw,jw->bij", stacked,
-                jnp.asarray(consts["syn_x_lo"][i]), precision=P_,
-            )
+            syn_x_lo = consts["syn_x_lo"][i]
+            if syn_x_lo is None:
+                tw = (
+                    plan.ladder[i + 1][1]
+                    if i + 1 < plan.n_levels
+                    else plan.width
+                )
+                corr = W.syn_lo_pass_last(stacked, wav_obj, tw)
+            else:
+                corr = jnp.einsum(
+                    "biw,jw->bij", stacked, jnp.asarray(syn_x_lo),
+                    precision=P_,
+                )
         out0 = jnp.exp(xlog + corr) + 1.0
 
     if flat is not None:

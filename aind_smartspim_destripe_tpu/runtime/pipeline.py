@@ -200,13 +200,21 @@ def _make_halo_step(plan, microscope_high_int, with_flatfield, devices):
     z mesh via the halo-exchange kernel (parallel/halo.py). Same uint16 ->
     uint16 contract as the plane-sharded step; batches stay small (each
     plane's rows occupy the whole mesh)."""
-    from ..parallel.halo import destripe_y_sharded, halo_constants
+    from ..parallel.halo import (
+        banded_x_min_w_default,
+        destripe_y_sharded,
+        halo_constants,
+    )
 
     mesh = Mesh(np.asarray(devices), ("z",))
     n_dev = len(devices)
     row_spec = NamedSharding(mesh, P(None, "z", None))
     rep = NamedSharding(mesh, P())
-    dense = plan.constants(dense_only=True)
+    # width-gate the x operators: beyond-threshold levels carry None and
+    # the halo kernel runs them banded/spectral (O(1) operator memory)
+    dense = plan.constants(
+        dense_only=True, banded_x_min_w=banded_x_min_w_default()
+    )
     halo_arrays, halo_static = halo_constants(plan, n_dev)
     consts = jax.device_put(dense, rep)
     harrs = jax.device_put(halo_arrays, rep)

@@ -157,6 +157,157 @@ def test_destripe_y_sharded_matches_production_kernel():
         os.environ.pop("DESTRIPE_NO_PALLAS", None)
 
 
+def test_an_lo_pass_last_matches_dense():
+    rng = np.random.default_rng(5)
+    wav = W.wavelet("db3")
+    for n in (8, 40, 41, 200, 257):
+        x = rng.normal(size=(2, 7, n)).astype(np.float32) * 10
+        A = W.analysis_operator(n, "db3")
+        want = np.einsum("bhw,jw->bhj", x, A[: A.shape[0] // 2])
+        got = np.asarray(W.an_lo_pass_last(jnp.asarray(x), wav))
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-5)
+
+
+def test_syn_lo_pass_last_matches_dense():
+    rng = np.random.default_rng(6)
+    wav = W.wavelet("db3")
+    for L, out_len in ((23, 40), (101, 197), (64, 122)):
+        lo = rng.normal(size=(3, 5, L)).astype(np.float32) * 10
+        S = W.synthesis_operator(L, "db3")[:out_len, :L]
+        want = np.einsum("bhl,ol->bho", lo, S)
+        got = np.asarray(W.syn_lo_pass_last(jnp.asarray(lo), wav, out_len))
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-5)
+
+
+def test_apply_notch_fft_matches_matmul():
+    from aind_smartspim_destripe_tpu.ops import fft_notch
+
+    rng = np.random.default_rng(7)
+    for n, sigma in ((200, 16.0), (257, 5.0), (1002, 64.0)):
+        x = rng.normal(size=(2, 9, n)).astype(np.float32) * 100
+        B = fft_notch.packed_notch_matrix(n, sigma).astype(np.float32)
+        want = x @ B.T
+        got = np.asarray(fft_notch.apply_notch_fft(jnp.asarray(x), sigma))
+        np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-4)
+
+
+def test_constants_width_gate_consistency():
+    """banded_x_min_w gates all three x-axis operator families (an_x_lo,
+    syn_x_lo, notch_cat) at the SAME levels, indexed by each family's own
+    ordering (analysis finest-first, synthesis/notch coarsest-first)."""
+    plan = _plan(320, 256)
+    n = plan.n_levels
+    consts = plan.constants(dense_only=True, banded_x_min_w=100)
+    from aind_smartspim_destripe_tpu.ops.wavelets import (
+        dwt_coeff_len, wavelet,
+    )
+
+    w_in, w_cur = [], 256
+    for _ in range(n):
+        w_in.append(w_cur)
+        w_cur = dwt_coeff_len(w_cur, wavelet("db3").flen)
+    assert w_in[0] >= 100 > w_in[-1]  # the gate genuinely splits the ladder
+    for lvl in range(n):
+        gated = w_in[lvl] >= 100
+        assert (consts["an_x_lo"][lvl] is None) == gated
+        assert (consts["syn_x_lo"][n - 1 - lvl] is None) == gated
+        assert (consts["notch_cat"][n - 1 - lvl] is None) == gated
+    # ungated constants are unchanged
+    dense = plan.constants(dense_only=True)
+    assert all(op is not None for op in dense["an_x_lo"])
+
+
+def test_destripe_y_sharded_banded_x_matches_dense_x():
+    """The width-gated banded/spectral x tier must reproduce the dense-x
+    halo output: force the gate below every level and compare.
+
+    Gate: a different x formulation reassociates the f32 sums, and a 1-ulp
+    coefficient difference can flip a per-plane Otsu bin, amplifying into
+    isolated ~tens-of-counts pixels (the documented cross-executable
+    behavior — never gated bitwise). Measured here: bit-identical on the
+    dim plane; 40/81920 pixels (0.05%) on the bright plane, 110 dB PSNR.
+    The gate pins: almost-everywhere <= 1 LSB, tiny flip fraction, and
+    >= 90 dB PSNR between the two formulations."""
+    import os
+
+    mesh = _mesh()
+    os.environ["DESTRIPE_NO_PALLAS"] = "1"
+    try:
+        from aind_smartspim_destripe_tpu.parallel.halo import (
+            destripe_y_sharded,
+        )
+
+        img = _mixed_batch()
+        plan = _plan(*img.shape[1:])
+        consts_b = plan.constants(dense_only=True, banded_x_min_w=1)
+        assert all(op is None for op in consts_b["an_x_lo"])
+        want = np.asarray(
+            destripe_y_sharded(jnp.asarray(img), mesh, plan,
+                               microscope_high_int=2700.0, wrap=True)
+        )
+        got = np.asarray(
+            destripe_y_sharded(jnp.asarray(img), mesh, plan,
+                               microscope_high_int=2700.0, wrap=True,
+                               banded_x_min_w=1)
+        )
+        assert got.dtype == np.uint16
+        d = got.astype(np.int64) - want.astype(np.int64)
+        assert float((np.abs(d) > 1).mean()) < 1e-3
+        mse = float((d.astype(np.float64) ** 2).mean())
+        psnr = 10 * np.log10(65535.0**2 / max(mse, 1e-12))
+        assert psnr >= 90.0, psnr
+    finally:
+        os.environ.pop("DESTRIPE_NO_PALLAS", None)
+
+
+def test_destripe_y_sharded_beyond_dense_width_smoke():
+    """A plane wider than the gate runs end to end with the finest level
+    never building a dense x/notch operator, and still removes stripes.
+    The gate is forced down via DESTRIPE_BANDED_X_MIN_W (the production
+    env knob) so the full level=None ladder stays CPU-affordable."""
+    import os
+
+    mesh = _mesh()
+    os.environ["DESTRIPE_NO_PALLAS"] = "1"
+    os.environ["DESTRIPE_BANDED_X_MIN_W"] = "2048"
+    try:
+        from aind_smartspim_destripe_tpu.parallel.halo import (
+            destripe_y_sharded, banded_x_min_w_default,
+        )
+
+        assert banded_x_min_w_default() == 2048  # env knob honored
+        Wd = 2400
+        rng = np.random.default_rng(11)
+        # pixel noise matters: noiseless stripes exceed the Otsu threshold
+        # and are PRESERVED as foreground (reference filtering.py:186-195
+        # semantics) — same recipe as the repo verify drive
+        stripes = (rng.normal(size=(1, 160, 1)) * 60) * np.ones((1, 1, Wd))
+        img = np.clip(
+            400 + rng.normal(size=(1, 160, Wd)) * 20 + stripes, 0, 65535
+        ).astype(np.uint16)
+        plan = _plan(160, Wd)  # level=None: the full production ladder
+        consts = plan.constants(dense_only=True,
+                                banded_x_min_w=banded_x_min_w_default())
+        assert consts["an_x_lo"][0] is None  # finest level gated
+        assert consts["an_x_lo"][-1] is not None  # deep levels still dense
+        out = np.asarray(
+            destripe_y_sharded(jnp.asarray(img), mesh, plan, consts,
+                               microscope_high_int=2700.0, wrap=True)
+        )
+        assert out.shape == img.shape and out.dtype == np.uint16
+        # stripe energy (variance of row means) must drop substantially;
+        # ~1.8x is this recipe's intrinsic ratio (stripe rows above the
+        # Otsu threshold are preserved as foreground by design, and the
+        # approximation band is untouched) — the repo verify drive
+        # documents 1.87x on the same recipe at 400x500
+        before = float(np.var(img[0].astype(np.float64).mean(axis=1)))
+        after = float(np.var(out[0].astype(np.float64).mean(axis=1)))
+        assert after < 0.65 * before
+    finally:
+        os.environ.pop("DESTRIPE_NO_PALLAS", None)
+        os.environ.pop("DESTRIPE_BANDED_X_MIN_W", None)
+
+
 def test_destripe_y_sharded_jitted_with_device_constants():
     """The production form: halo shard plans ride the jit boundary as
     ARGUMENTS (device-resident), not embedded literals."""
