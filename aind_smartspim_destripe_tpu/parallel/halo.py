@@ -72,10 +72,12 @@ from ..ops.filter import (
     normalize_flat_dark,
     wrap_cast,
 )
+from ..ops.otsu import threshold_otsu_batch
 
 __all__ = [
     "banded_apply_y_sharded",
     "banded_x_min_w_default",
+    "dual_band_destripe_y_sharded",
     "dwt2_y_sharded",
     "idwt2_y_sharded",
     "destripe_y_sharded",
@@ -346,6 +348,7 @@ def destripe_y_sharded(
     dark: Optional[jax.Array] = None,
     wrap: bool = False,
     banded_x_min_w: Optional[int] = None,
+    dual: bool = False,
 ) -> jax.Array:
     """Full-semantics destripe with the ROW axis sharded over the mesh
     (reference filtering.py:139-224): per-plane float16-sigmoid classifier,
@@ -364,7 +367,20 @@ def destripe_y_sharded(
     above ``banded_x_min_w`` (default :func:`banded_x_min_w_default`) run
     their x-passes in the banded/spectral O(1)-operator-memory forms —
     the dense x operators for those levels are never built (``consts``
-    carries ``None`` there; see module docstring)."""
+    carries ``None`` there; see module docstring).
+
+    ``dual=True`` mirrors ``destripe_batch(dual=True)`` on the sharded
+    layout: the classifier is skipped, analysis / per-plane Otsu /
+    inpainting statistics run once per plane, only the notch products and
+    delta synthesis double, and the result is the raw ``(2B, H, W)``
+    float32 band pair (``[:B]`` = cells/foreground config, ``[B:]`` =
+    no-cells/background); epilogues are disallowed — blend first
+    (:func:`dual_band_destripe_y_sharded`)."""
+    if dual and (flat is not None or wrap):
+        raise ValueError(
+            "dual mode returns both float32 bands; blend them before "
+            "applying a flat-field or wrap epilogue"
+        )
     if consts is None:
         if banded_x_min_w is None:
             banded_x_min_w = banded_x_min_w_default()
@@ -376,10 +392,18 @@ def destripe_y_sharded(
 
     xf = x.astype(jnp.float32)
     xlog = jnp.log(1.0 + xf)
+    B0 = x.shape[0]
     if plan.n_levels == 0:
         out0 = jnp.exp(xlog) + 1.0
+        if dual:
+            out0 = jnp.concatenate([out0, out0], axis=0)
     else:
-        is_cells = classify_planes(xf, microscope_high_int)
+        if dual:
+            # both configs on every plane, selected by batch half (same
+            # contract as destripe_batch: first half = cells slot)
+            is_cells = jnp.arange(2 * B0) < B0
+        else:
+            is_cells = classify_planes(xf, microscope_high_int)
 
         def y_apply(a, lvl, which):
             meta = halo_static.get(lvl)
@@ -442,6 +466,17 @@ def destripe_y_sharded(
             else:
                 notch_apply = None
                 bm_dev = jnp.asarray(bm_cat)
+            if dual:
+                # ONE Otsu per input plane shared by both bands (the
+                # stripe threshold depends only on the coefficients, not
+                # the sigma), tiled to the doubled batch — identical
+                # numerics to destripe_batch's dense dual path
+                otsu_sqrt = jnp.tile(
+                    jnp.sqrt(threshold_otsu_batch(ch * ch, pallas=False)), 2
+                )
+                ch = jnp.concatenate([ch, ch], axis=0)
+            else:
+                otsu_sqrt = None
             deltas.append(
                 _filter_level(
                     ch,
@@ -449,6 +484,7 @@ def destripe_y_sharded(
                     bm_dev,
                     plan.cells.max_threshold,
                     plan.no_cells.max_threshold,
+                    otsu_sqrt=otsu_sqrt,
                     pallas=False,
                     notch_apply=notch_apply,
                 )
@@ -476,6 +512,9 @@ def destripe_y_sharded(
                     "biw,jw->bij", stacked, jnp.asarray(syn_x_lo),
                     precision=P_,
                 )
+        if dual:
+            # both bands' corrections apply to the same log-space input
+            xlog = jnp.concatenate([xlog, xlog], axis=0)
         out0 = jnp.exp(xlog + corr) + 1.0
 
     if flat is not None:
@@ -485,3 +524,62 @@ def destripe_y_sharded(
     if wrap:
         return wrap_cast(out0)
     return out0
+
+
+def dual_band_destripe_y_sharded(
+    x: jax.Array,  # (B, H, W) uint16/float, rows shardable over the mesh
+    mesh: Mesh,
+    plan: DestripePlan,
+    consts=None,
+    halo_arrays=None,
+    halo_static=None,
+    *,
+    axis: str = "z",
+    crossover: float = 100.0,
+    threshold: float = -1.0,
+    smooth_radius: int = 8,
+    flat: Optional[jax.Array] = None,
+    dark: Optional[jax.Array] = None,
+    wrap: bool = False,
+    banded_x_min_w: Optional[int] = None,
+) -> jax.Array:
+    """Dual-band destripe (BASELINE config 2) on the row-sharded layout:
+    the Y-halo form of :func:`ops.dual_band.dual_band_destripe_batch`.
+
+    Both bands come from ONE row-sharded decomposition
+    (:func:`destripe_y_sharded` with ``dual=True``); the blend then runs in
+    the plain XLA formulation — per-plane Otsu (or fixed ``threshold``)
+    sigmoid fraction, edge-replicated box smooth, band mix — which GSPMD
+    partitions over the same row sharding (the box smooth's window crosses
+    shard boundaries via the partitioner's own halo exchange; the fused
+    Pallas blend kernel is whole-plane-in-VMEM and never selected here).
+    The flat-field / wrap epilogue applies to the blended plane, matching
+    the plane-sharded dual step (runtime/pipeline.py)."""
+    if not isinstance(crossover, jax.core.Tracer) and not crossover > 0:
+        raise ValueError(f"dual-band crossover must be > 0, got {crossover}")
+    from ..ops.dual_band import _smooth
+
+    b = x.shape[0]
+    xf = x.astype(jnp.float32)
+    both = destripe_y_sharded(
+        x, mesh, plan, consts, halo_arrays, halo_static, axis=axis,
+        banded_x_min_w=banded_x_min_w, dual=True,
+    )
+    fore, back = both[:b], both[b:]
+
+    otsu_centers = threshold_otsu_batch(xf, pallas=False)
+    centers = jnp.where(
+        threshold < 0, otsu_centers, jnp.full_like(otsu_centers, threshold)
+    )
+    frac = 1.0 / (1.0 + jnp.exp(-(xf - centers[:, None, None]) / crossover))
+    frac = _smooth(frac, smooth_radius)
+    blended = fore * frac + back * (1.0 - frac)
+
+    if flat is not None:
+        from ..ops.flatfield import flatfield_correction
+
+        flat, dark = normalize_flat_dark(plan.height, plan.width, flat, dark)
+        return flatfield_correction(blended, flat, dark)
+    if wrap:
+        return wrap_cast(blended)
+    return blended

@@ -100,8 +100,8 @@ def make_device_step(plan: DestripePlan, microscope_high_int: float,
     the ROW axis instead and the step runs the Y-halo-sharded kernel
     (parallel/halo.py): halo exchange over ICI per wavelet pass, coarse
     levels replicated, identical filter semantics on the dense math path.
-    Dual-band has no halo form (blend-before-epilogue assumes whole planes)
-    and raises above the threshold.
+    Dual-band composes with it (dual_band_destripe_y_sharded: both bands
+    from one row-sharded decomposition, GSPMD-partitioned blend).
 
     The returned callable carries helpers for the caller's data placement:
     ``.put(chunk)`` shards/transfers a (B, H, W) numpy batch, ``.put_const``
@@ -145,13 +145,9 @@ def make_device_step(plan: DestripePlan, microscope_high_int: float,
         os.environ.get("DESTRIPE_HALO_THRESHOLD_BYTES", str(1 << 30))
     )
     if n_dev > 1 and plane_bytes > halo_threshold:
-        if dual:
-            raise ValueError(
-                "dual-band has no Y-halo-sharded form; lower the plane size "
-                "or raise DESTRIPE_HALO_THRESHOLD_BYTES"
-            )
         return _make_halo_step(
-            plan, microscope_high_int, with_flatfield, devices
+            plan, microscope_high_int, with_flatfield, devices,
+            dual=dual, crossover=crossover, dual_threshold=dual_threshold,
         )
 
     if n_dev == 1:
@@ -195,14 +191,18 @@ def make_device_step(plan: DestripePlan, microscope_high_int: float,
     return fn
 
 
-def _make_halo_step(plan, microscope_high_int, with_flatfield, devices):
+def _make_halo_step(plan, microscope_high_int, with_flatfield, devices,
+                    dual=False, crossover=100.0, dual_threshold=-1.0):
     """Device step for beyond-single-chip planes: ROWS sharded over the 1-D
     z mesh via the halo-exchange kernel (parallel/halo.py). Same uint16 ->
     uint16 contract as the plane-sharded step; batches stay small (each
-    plane's rows occupy the whole mesh)."""
+    plane's rows occupy the whole mesh). ``dual=True`` routes through the
+    row-sharded dual-band form (both bands from one sharded decomposition,
+    GSPMD-partitioned blend, epilogue on the blended plane)."""
     from ..parallel.halo import (
         banded_x_min_w_default,
         destripe_y_sharded,
+        dual_band_destripe_y_sharded,
         halo_constants,
     )
 
@@ -221,6 +221,17 @@ def _make_halo_step(plan, microscope_high_int, with_flatfield, devices):
 
     @partial(jax.jit, donate_argnums=(0,), out_shardings=row_spec)
     def step(images, flat, dark, consts, harrs):
+        if dual:
+            kw = dict(crossover=crossover, threshold=dual_threshold)
+            if with_flatfield:
+                return dual_band_destripe_y_sharded(
+                    images, mesh, plan, consts, harrs, halo_static,
+                    flat=flat, dark=dark, **kw,
+                )
+            return dual_band_destripe_y_sharded(
+                images, mesh, plan, consts, harrs, halo_static,
+                wrap=True, **kw,
+            )
         if with_flatfield:
             return destripe_y_sharded(
                 images, mesh, plan, consts, harrs, halo_static,

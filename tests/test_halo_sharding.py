@@ -260,6 +260,88 @@ def test_destripe_y_sharded_banded_x_matches_dense_x():
         os.environ.pop("DESTRIPE_NO_PALLAS", None)
 
 
+def test_dual_band_y_sharded_matches_unsharded():
+    """Dual-band (BASELINE config 2) on the row-sharded layout must match
+    the unsharded dual step: both bands from one decomposition, shared
+    per-plane Otsu, sigmoid blend + box smooth (GSPMD-partitioned), wrap
+    epilogue on the blended plane."""
+    import os
+
+    mesh = _mesh()
+    os.environ["DESTRIPE_NO_PALLAS"] = "1"
+    try:
+        from aind_smartspim_destripe_tpu.ops.dual_band import (
+            dual_band_destripe_batch,
+        )
+        from aind_smartspim_destripe_tpu.ops.filter import wrap_cast
+        from aind_smartspim_destripe_tpu.parallel.halo import (
+            dual_band_destripe_y_sharded,
+        )
+
+        img = _mixed_batch()
+        plan = _plan(*img.shape[1:])  # cells slot = foreground band
+        want = np.asarray(
+            wrap_cast(
+                dual_band_destripe_batch(
+                    plan, jnp.asarray(img), 100.0, -1.0,
+                    consts=plan.constants(),
+                )
+            )
+        )
+        got = np.asarray(
+            dual_band_destripe_y_sharded(
+                jnp.asarray(img), mesh, plan,
+                crossover=100.0, threshold=-1.0, wrap=True,
+            )
+        )
+        assert got.dtype == np.uint16
+        d = got.astype(np.int32) - want.astype(np.int32)
+        assert np.abs(d).max() <= 1 and (d != 0).mean() < 1e-3
+
+        # fixed-threshold blend + flat-field epilogue route
+        from aind_smartspim_destripe_tpu.ops.flatfield import (
+            flatfield_correction,
+        )
+
+        H, W_ = img.shape[1:]
+        flat = 1.0 + 0.1 * np.outer(
+            np.hanning(H), np.hanning(W_)
+        ).astype(np.float32)
+        dark = np.zeros((H, W_), np.float32)
+        want_f = np.asarray(
+            flatfield_correction(
+                dual_band_destripe_batch(
+                    plan, jnp.asarray(img), 50.0, 700.0,
+                    consts=plan.constants(),
+                ),
+                jnp.asarray(flat), jnp.asarray(dark),
+            )
+        )
+        got_f = np.asarray(
+            dual_band_destripe_y_sharded(
+                jnp.asarray(img), mesh, plan,
+                crossover=50.0, threshold=700.0,
+                flat=jnp.asarray(flat), dark=jnp.asarray(dark),
+            )
+        )
+        d = got_f.astype(np.int32) - want_f.astype(np.int32)
+        assert np.abs(d).max() <= 1 and (d != 0).mean() < 1e-3
+    finally:
+        os.environ.pop("DESTRIPE_NO_PALLAS", None)
+
+
+def test_dual_band_y_sharded_rejects_epilogue_on_bands():
+    """destripe_y_sharded(dual=True) returns raw float bands; asking for an
+    epilogue there is a contract error (blend first)."""
+    mesh = _mesh()
+    from aind_smartspim_destripe_tpu.parallel.halo import destripe_y_sharded
+
+    img = _mixed_batch()
+    plan = _plan(*img.shape[1:])
+    with pytest.raises(ValueError, match="blend"):
+        destripe_y_sharded(jnp.asarray(img), mesh, plan, dual=True, wrap=True)
+
+
 def test_destripe_y_sharded_beyond_dense_width_smoke():
     """A plane wider than the gate runs end to end with the finest level
     never building a dense x/notch operator, and still removes stripes.

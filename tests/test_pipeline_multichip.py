@@ -185,16 +185,34 @@ def test_destripe_zarr_e2e_auto_halo(tmp_path, monkeypatch):
     assert levels["halo"][0].any()
 
 
-def test_halo_step_rejects_dual():
-    import pytest as _pytest
+def test_halo_step_dual_matches_plane_sharded():
+    """Dual-band composes with the Y-halo route: the beyond-threshold step
+    (rows sharded, dual_band_destripe_y_sharded) matches the plane-sharded
+    dual step to <= 1 LSB on the same batch."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    plan = _plan()
+    vol = _vol()[:8]
+    ones = np.ones((1, 1), np.float32)
+    zeros = np.zeros((1, 1), np.float32)
+
+    plane = make_device_step(plan, 2500.0, False, devices=jax.devices(),
+                             dual=True)
+    want = np.asarray(plane(plane.put(vol), plane.put_const(ones),
+                            plane.put_const(zeros)))
 
     os.environ["DESTRIPE_HALO_THRESHOLD_BYTES"] = "1024"
     try:
-        with _pytest.raises(ValueError, match="halo"):
-            make_device_step(_plan(), 2500.0, False, devices=jax.devices(),
-                             dual=True)
+        halo = make_device_step(plan, 2500.0, False, devices=jax.devices(),
+                                dual=True)
+        assert getattr(halo, "shards_rows", False)
+        got = np.asarray(halo(halo.put(vol), halo.put_const(ones),
+                              halo.put_const(zeros)))
     finally:
         del os.environ["DESTRIPE_HALO_THRESHOLD_BYTES"]
+    assert got.dtype == np.uint16
+    d = got.astype(np.int32) - want.astype(np.int32)
+    assert np.abs(d).max() <= 1 and (d != 0).mean() < 1e-3
 
 
 def test_destripe_zarr_e2e_sharded_identity(tmp_path):
