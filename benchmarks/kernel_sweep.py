@@ -10,6 +10,7 @@ Usage:
     python benchmarks/kernel_sweep.py notch 64 128 256   # notch rows_tile
     python benchmarks/kernel_sweep.py k2col 128 256 512  # an_y_pass col_tile
     python benchmarks/kernel_sweep.py k3col 128 256 512  # syn_y_pass col_tile
+    python benchmarks/kernel_sweep.py bandedx 4096 8192  # dense vs banded x
 
 Compile-fail variants (e.g. scoped-VMEM overflow at big tiles) are reported
 as such, not crashed on. Timing is best-of-2 after a warm run.
@@ -25,6 +26,85 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def sweep_banded_x(widths, B=2, H=1600, iters=8):
+    """Dense-x vs banded/spectral-x crossover through the halo kernel
+    (parallel/halo.py) on a 1-device mesh: times the SAME full filter with
+    the width gate above every level (dense (W/2, W) matmuls + (w, 2w)
+    notch operators) and below every level (blocked lowpass passes + rfft
+    notch). Pins the DESTRIPE_BANDED_X_MIN_W default — dense measured ~45%
+    faster at production W=2000; the banded tier's FLOP ratio grows
+    linearly with width (~60x by 8192). Dense operator residency is
+    O(W^2)/level (~2.2 GB at W=16384), so widths much beyond 16k only run
+    on the banded tier at all."""
+    import jax
+    import jax.numpy as jnp
+
+    from aind_smartspim_destripe_tpu.ops.filter import (
+        FilterConfig, build_plan,
+    )
+    from aind_smartspim_destripe_tpu.parallel.halo import (
+        destripe_y_sharded, halo_constants,
+    )
+    from aind_smartspim_destripe_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(1)
+    rng = np.random.default_rng(0)
+    results = {}
+    for W_ in widths:
+        plan = build_plan(
+            H, W_,
+            FilterConfig(wavelet="db3", level=None, sigma=64, max_threshold=3),
+            FilterConfig(wavelet="db3", level=None, sigma=128,
+                         max_threshold=12),
+        )
+        img = np.clip(
+            300 + (rng.normal(size=(B, H, 1)) * 60) * np.ones((1, 1, W_))
+            + rng.normal(size=(B, H, W_)) * 10, 0, 65535,
+        ).astype(np.uint16)
+        dev = jax.device_put(img)
+        harrs, hstatic = halo_constants(plan, 1)
+        harrs = jax.device_put(harrs)
+        for tag, gate in (("dense", 1 << 30), ("banded", 1)):
+            consts = jax.device_put(
+                plan.constants(dense_only=True, banded_x_min_w=gate)
+            )
+
+            @partial(jax.jit, static_argnums=(0,))
+            def step_loop(n, images, consts, harrs):
+                def body(tok, _):
+                    x, _tok = jax.lax.optimization_barrier((images, tok))
+                    out = destripe_y_sharded(
+                        x, mesh, plan, consts, harrs, hstatic, wrap=True,
+                    )
+                    return out[0, 0, 0].astype(jnp.float32) + _tok, ()
+
+                tok, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+                return tok
+
+            try:
+                _ = float(np.asarray(step_loop(iters, dev, consts, harrs)))
+                best = float("inf")
+                for _rep in range(2):
+                    t0 = time.perf_counter()
+                    _ = float(np.asarray(
+                        step_loop(iters, dev, consts, harrs)
+                    ))
+                    best = min(best, time.perf_counter() - t0)
+                ms = best / iters * 1e3
+                mpix = iters * B * H * W_ / best / 1e6
+                results[(W_, tag)] = ms
+                print(f"bandedx W={W_} {tag}: {ms:.2f} ms/step "
+                      f"({mpix:.0f} MPix/s)", flush=True)
+            except Exception as e:
+                results[(W_, tag)] = None
+                print(f"bandedx W={W_} {tag}: FAILED ({type(e).__name__}: "
+                      f"{str(e).splitlines()[0][:120]})", flush=True)
+        d, b = results.get((W_, "dense")), results.get((W_, "banded"))
+        if d and b:
+            print(f"bandedx W={W_}: banded/dense = {b / d:.2f}x", flush=True)
+    return results
+
+
 def main(argv):
     import jax
     import jax.numpy as jnp
@@ -32,6 +112,11 @@ def main(argv):
     from aind_smartspim_destripe_tpu.runtime import enable_compile_cache
 
     enable_compile_cache()
+
+    if argv and argv[0] == "bandedx":
+        widths = [int(v) for v in argv[1:]] or [2048, 4096, 8192, 16384]
+        sweep_banded_x(widths)
+        return
 
     from aind_smartspim_destripe_tpu.ops import pallas_band, pallas_notch
     from aind_smartspim_destripe_tpu.ops import filter as flt
