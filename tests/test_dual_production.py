@@ -189,6 +189,71 @@ def test_destripe_zarr_dual_e2e(tmp_path):
     assert journal["meta"]["dual"] is True
 
 
+def test_destripe_zarr_dual_halo_route_e2e(tmp_path, monkeypatch):
+    """destripe_zarr in dual mode through the auto-selected Y-halo route
+    (threshold forced below the plane size): store contents match the
+    plane-sharded dual run to <= 1 LSB and the journal still pins dual."""
+    if len(jax.local_devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    from aind_smartspim_destripe_tpu import zarr_destriper as zd
+    from aind_smartspim_destripe_tpu.io.zarr import group, open_zarr
+
+    vol = _vol()
+    tile = group(str(tmp_path / "data" / "100000_200000.zarr"))
+    lvl0 = tile.create_dataset(
+        0, shape=(1, 1, Z, H, W), chunks=(1, 1, 8, 64, 64), dtype=np.uint16
+    )
+    lvl0[:] = vol[None, None]
+
+    outs = {}
+    for tag in ("plane", "halo"):
+        if tag == "halo":
+            monkeypatch.setenv("DESTRIPE_HALO_THRESHOLD_BYTES", "1024")
+        results = tmp_path / f"results_{tag}"
+        results.mkdir()
+        zd.destripe_zarr(
+            dataset_path=tmp_path / "data" / "100000_200000.zarr",
+            multiscale="0",
+            output_destriped_zarr=(
+                results / "Ex_488_Em_525" / "100000_200000.zarr"
+            ),
+            prediction_chunksize=(8, H, W),
+            target_size_mb=64,
+            n_workers=0,
+            batch_size=1,
+            super_chunksize=(16, H, W),
+            results_folder=results,
+            derivatives_path=None,
+            xyz_resolution=(1.8, 1.8, 2.0),
+            parameters={
+                "no_cells_config": NO_CELLS,
+                "cells_config": CELLS,
+                "dual_band": True,
+            },
+            devices=jax.local_devices()[:1] if tag == "plane" else None,
+        )
+        if tag == "halo":
+            monkeypatch.delenv("DESTRIPE_HALO_THRESHOLD_BYTES")
+        outs[tag] = np.asarray(
+            open_zarr(
+                str(results / "Ex_488_Em_525" / "100000_200000.zarr")
+            )["0"][:]
+        )[0, 0]
+
+    _assert_lsb(outs["halo"], outs["plane"])
+    assert outs["halo"].any()
+
+    import json
+
+    journal = json.loads(
+        (
+            tmp_path / "results_halo" / "Ex_488_Em_525"
+            / "100000_200000.zarr" / "0" / ".destripe_journal.json"
+        ).read_text()
+    )
+    assert journal["meta"]["dual"] is True
+
+
 def test_batch_filter_dual(tmp_path):
     from aind_smartspim_destripe_tpu.destriper import batch_filter
     from aind_smartspim_destripe_tpu.io.readers import imread
