@@ -56,6 +56,9 @@ class PipelineStats:
     write_s: float = 0.0
     wall_s: float = 0.0
     pixels: int = 0
+    # True when the device step sharded ROWS over the mesh (the Y-halo
+    # route above DESTRIPE_HALO_THRESHOLD_BYTES) instead of planes
+    halo: bool = False
     # per-slab records [(z0, z1, read_wait_s, compute_s)] — read_wait is
     # the time the loop BLOCKED on the prefetched read (0 when it overlapped
     # fully with the previous slab's compute); write seconds live on the
@@ -457,7 +460,7 @@ class StreamingDestriper:
     # -- main loop ---------------------------------------------------------
 
     def run(self) -> PipelineStats:
-        stats = PipelineStats()
+        stats = PipelineStats(halo=getattr(self._step, "shards_rows", False))
         t_start = time.time()
         Z, H, W = self.zyx
         slabs = [(z0, min(z0 + self.slab, Z)) for z0 in range(0, Z, self.slab)]

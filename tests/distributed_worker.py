@@ -19,6 +19,11 @@ def main():
         int(sys.argv[4]),
         sys.argv[5],
     )
+    # "halo" mode (multi-host x Y-halo interplay test): each process runs
+    # its owned tiles with rows sharded over its LOCAL device mesh while
+    # tile ownership partitions over DCN; the resume-interplay phase is
+    # skipped (covered by the default mode).
+    mode = sys.argv[6] if len(sys.argv) > 6 else "full"
     import jax
 
     jax.config.update("jax_platforms", "cpu")  # before first backend use
@@ -55,6 +60,21 @@ def main():
     )
     stats = run_channel()
     gs = global_stats(np.array([pid + 1.0, 1.0]))
+
+    if mode == "halo":
+        json.dump(
+            {
+                "process_id": pid,
+                "process_count": jax.process_count(),
+                "local_devices": jax.local_device_count(),
+                "tiles": sorted(stats),
+                "planes": {k: v.planes for k, v in stats.items()},
+                "halo": {k: v.halo for k, v in stats.items()},
+                "global_stats": np.asarray(gs).tolist(),
+            },
+            open(out_json, "w"),
+        )
+        return
 
     # Resume interplay (VERDICT r3 #6): leave the channel HALF-completed —
     # process 0 invalidates the journals of the first tile each process

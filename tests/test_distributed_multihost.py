@@ -129,3 +129,120 @@ def test_two_process_destripe_channel(tmp_path):
     ]
     assert recomputed[0] | recomputed[1] == invalidated
     assert all(len(s) == 1 for s in recomputed)
+
+
+def test_two_process_halo_interplay(tmp_path):
+    """DCN x ICI interplay: two jax.distributed processes each run their
+    owned tiles through the Y-HALO route (rows sharded over each process's
+    4 LOCAL virtual devices; threshold forced below the plane size), while
+    tile ownership round-robins over DCN. Outputs must match a plain
+    single-process plane-route run of the same channel to <= 1 LSB."""
+    _build_channel(tmp_path)
+
+    # reference run: single process, plane route (separate results tree)
+    ref_root = tmp_path / "ref"
+    ref_root.mkdir()
+    for item in ("Ex_488_Em_525", "flat.tif", "laser_tiles.json"):
+        os.symlink(tmp_path / item, ref_root / item)
+    (ref_root / "results").mkdir()
+    env_ref = dict(os.environ)
+    env_ref["JAX_PLATFORMS"] = "cpu"
+    env_ref.pop("XLA_FLAGS", None)
+    ref = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            (
+                "import sys, json; sys.path.insert(0, %r);"
+                "import jax; jax.config.update('jax_platforms', 'cpu');"
+                "from aind_smartspim_destripe_tpu import zarr_destriper as zd;"
+                "laser = json.load(open(%r));"
+                "zd.destripe_channel(zarr_dataset_path=%r,"
+                " derivatives_path=None, channel_name='Ex_488_Em_525',"
+                " results_folder=%r, xyz_resolution=(1.8, 1.8, 2.0),"
+                " estimated_channel_flats=[%r], laser_tiles=laser,"
+                " parameters={'no_cells_config': {'wavelet': 'db3',"
+                " 'level': None, 'sigma': 128, 'max_threshold': 12},"
+                " 'cells_config': {'wavelet': 'db3', 'level': None,"
+                " 'sigma': 64, 'max_threshold': 3}})"
+            )
+            % (
+                REPO,
+                str(tmp_path / "laser_tiles.json"),
+                str(ref_root),
+                str(ref_root / "results"),
+                str(tmp_path / "flat.tif"),
+            ),
+        ],
+        env=env_ref,
+        cwd=REPO,
+        capture_output=True,
+        timeout=540,
+    )
+    assert ref.returncode == 0, ref.stdout.decode()[-4000:] + ref.stderr.decode()[-4000:]
+
+    port = _free_port()
+    nprocs = 2
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["DESTRIPE_HALO_THRESHOLD_BYTES"] = "1024"  # < 32*48*4 plane bytes
+    procs = []
+    for pid in range(nprocs):
+        out_json = tmp_path / f"halo_report_{pid}.json"
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    os.path.join(REPO, "tests", "distributed_worker.py"),
+                    str(tmp_path),
+                    str(port),
+                    str(pid),
+                    str(nprocs),
+                    str(out_json),
+                    "halo",
+                ],
+                env=env,
+                cwd=REPO,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+            )
+        )
+    outputs = [p.communicate(timeout=540)[0].decode() for p in procs]
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, f"halo worker failed:\n{out[-4000:]}"
+
+    reports = [
+        json.load(open(tmp_path / f"halo_report_{i}.json"))
+        for i in range(nprocs)
+    ]
+    assert all(r["process_count"] == nprocs for r in reports)
+    assert all(r["local_devices"] == 4 for r in reports)
+    # every tile genuinely took the halo route
+    assert all(v is True for r in reports for v in r["halo"].values())
+    owned = [set(r["tiles"]) for r in reports]
+    assert owned[0] & owned[1] == set()
+    assert owned[0] | owned[1] == {f"{s}.zarr" for s in STEMS}
+
+    from aind_smartspim_destripe_tpu.io.zarr import open_zarr
+
+    for stem in STEMS:
+        got = np.asarray(
+            open_zarr(
+                str(
+                    tmp_path / "results" / "destriped_data"
+                    / "Ex_488_Em_525" / f"{stem}.zarr"
+                )
+            )["0"][:]
+        )
+        want = np.asarray(
+            open_zarr(
+                str(
+                    ref_root / "results" / "destriped_data"
+                    / "Ex_488_Em_525" / f"{stem}.zarr"
+                )
+            )["0"][:]
+        )
+        d = got.astype(np.int32) - want.astype(np.int32)
+        assert np.abs(d).max() <= 1 and (d != 0).mean() < 1e-3, stem
+        assert got.any()
