@@ -268,3 +268,47 @@ def test_destripe_with_db2_wavelet():
     u16g = np.clip(got, 0, 65535).astype(np.uint16)
     u16w = np.clip(want, 0, 65535).astype(np.uint16)
     assert psnr(u16g, u16w) > 80
+
+
+def test_destripe_geometry_wavelet_fuzz():
+    """Randomized geometry x wavelet-order x level sweep of the full kernel
+    vs the float64 oracle: odd/even dims, tiny through mid sizes, db1..db6,
+    fixed and auto level. Pins the static shape bookkeeping (dwt_coeff_len
+    ladders, operator trims, notch sizes) where off-by-ones would live."""
+    rng = np.random.default_rng(2024)
+    for case in range(8):
+        h = int(rng.integers(24, 190))
+        w = int(rng.integers(24, 190))
+        order = int(rng.integers(1, 7))
+        wavelet = f"db{order}"
+        # auto level half the time; else a small fixed level that the
+        # geometry supports (>=1)
+        level = None if case % 2 == 0 else int(rng.integers(1, 3))
+        sigma = float(rng.choice([32, 64, 128]))
+        max_threshold = float(rng.choice([3, 6, 12]))
+        img = synthetic_plane(h, w, seed=100 + case)
+
+        want = G.log_space_fft_filtering_ref(
+            img.astype(np.float64), wavelet_name=wavelet, level=level,
+            sigma=sigma, max_threshold=max_threshold,
+        )
+        got = log_space_fft_filtering(
+            img, wavelet=wavelet, level=level, sigma=sigma,
+            max_threshold=max_threshold,
+        )
+        assert got.shape == img.shape, (h, w, wavelet, level)
+        # Odd-dimension divergence, by design: pywt's waverec2 (and so the
+        # reference, filtering.py:221 — it never crops) returns a plane one
+        # pixel larger per odd axis; this kernel folds the crop to the
+        # input shape into the trimmed synthesis operator (the overlapping
+        # region is identical — cropping after synthesis == trimming
+        # operator rows). Production planes are even-sized; for odd ones
+        # same-shape-out is the only contract the writers can store.
+        want = want[: img.shape[0], : img.shape[1]]
+        u16g = np.clip(got, 0, 65535).astype(np.uint16)
+        u16w = np.clip(want, 0, 65535).astype(np.uint16)
+        p = psnr(u16g, u16w)
+        assert p > 75, (
+            f"case {case}: {h}x{w} {wavelet} level={level} "
+            f"sigma={sigma} thr={max_threshold}: PSNR {p:.1f} dB"
+        )
