@@ -209,8 +209,21 @@ def _make_halo_step(plan, microscope_high_int, with_flatfield, devices,
         halo_constants,
     )
 
-    mesh = Mesh(np.asarray(devices), ("z",))
+    # Rows shard EXACTLY (no pad: padding rows would shift the symmetric
+    # boundary extension and the per-plane classifier/Otsu statistics away
+    # from the unsharded kernel) — when the row count doesn't divide the
+    # pool, shard over the largest divisor of H that fits instead.
     n_dev = len(devices)
+    if plan.height % n_dev:
+        n_dev = max(
+            d for d in range(1, n_dev + 1) if plan.height % d == 0
+        )
+        logging.getLogger(__name__).warning(
+            "Y-halo route: %d rows not divisible by %d devices; sharding "
+            "over %d instead", plan.height, len(devices), n_dev,
+        )
+        devices = devices[:n_dev]
+    mesh = Mesh(np.asarray(devices), ("z",))
     row_spec = NamedSharding(mesh, P(None, "z", None))
     rep = NamedSharding(mesh, P())
     # width-gate the x operators: beyond-threshold levels carry None and

@@ -185,6 +185,51 @@ def test_destripe_zarr_e2e_auto_halo(tmp_path, monkeypatch):
     assert levels["halo"][0].any()
 
 
+def test_halo_step_ragged_rows_divisor_fallback():
+    """Row counts that don't divide the device pool shard over the largest
+    divisor that fits (padding would shift the symmetric boundary extension
+    and the per-plane stats) and still match the unsharded kernel."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from aind_smartspim_destripe_tpu.ops.filter import (
+        destripe_batch, wrap_cast,
+    )
+    import jax.numpy as jnp
+    from aind_smartspim_destripe_tpu.ops.filter import (
+        FilterConfig, build_plan,
+    )
+
+    os.environ["DESTRIPE_HALO_THRESHOLD_BYTES"] = "1024"
+    try:
+        for Hr, exp_dev in ((70, 7), (61, 1)):  # composite and prime rows
+            plan = build_plan(
+                Hr, 90,
+                FilterConfig(wavelet="db3", level=None, sigma=64,
+                             max_threshold=3),
+                FilterConfig(wavelet="db3", level=None, sigma=128,
+                             max_threshold=12),
+            )
+            step = make_device_step(plan, 2500.0, False,
+                                    devices=jax.devices())
+            assert step.n_devices == exp_dev and step.shards_rows
+            rng = np.random.default_rng(0)
+            vol = rng.integers(0, 3000, size=(2, Hr, 90)).astype(np.uint16)
+            out = np.asarray(step(
+                step.put(vol),
+                step.put_const(np.ones((1, 1), np.float32)),
+                step.put_const(np.zeros((1, 1), np.float32)),
+            ))
+            want = np.asarray(wrap_cast(destripe_batch(
+                plan, jnp.asarray(vol, jnp.float32), 2500.0
+            )))
+            d = out.astype(int) - want.astype(int)
+            assert np.abs(d).max() <= 1 and (d != 0).mean() < 1e-3
+
+
+    finally:
+        del os.environ["DESTRIPE_HALO_THRESHOLD_BYTES"]
+
+
 def test_halo_step_dual_matches_plane_sharded():
     """Dual-band composes with the Y-halo route: the beyond-threshold step
     (rows sharded, dual_band_destripe_y_sharded) matches the plane-sharded
