@@ -424,3 +424,26 @@ def test_destripe_y_sharded_jitted_with_device_constants():
         np.testing.assert_allclose(got, want, atol=0.5, rtol=1e-4)
     finally:
         os.environ.pop("DESTRIPE_NO_PALLAS", None)
+
+
+def test_apply_notch_fft_wide_width_accuracy():
+    """f32 rfft accuracy at real halo-tier widths (the dense operator is
+    never built there, so the matmul cross-check is impossible): compare
+    against the same packed-gain map computed in float64 numpy. rfft error
+    grows ~log2(n); gate well under 1/2 LSB of the uint16 range relative
+    to the signal scale."""
+    from aind_smartspim_destripe_tpu.ops import fft_notch
+
+    rng = np.random.default_rng(12)
+    n, sigma = 16384, 128.0
+    x = (rng.normal(size=(1, 4, n)) * 1000 + 3000).astype(np.float32)
+    got = np.asarray(fft_notch.apply_notch_fft(jnp.asarray(x), sigma))
+
+    g = fft_notch.notch(n, sigma)
+    a, b = fft_notch._packed_gains(n, g)
+    spec = np.fft.rfft(x.astype(np.float64), axis=-1)
+    want = np.fft.irfft(a * spec.real + 1j * (b * spec.imag), n=n, axis=-1)
+    err = np.abs(got - want)
+    # float64-relative error must stay far below the quantization the
+    # uint16 store applies (0.5 LSB) at this signal scale
+    assert float(err.max()) < 0.05, float(err.max())
