@@ -376,7 +376,9 @@ def destripe_y_sharded(
     float32 band pair (``[:B]`` = cells/foreground config, ``[B:]`` =
     no-cells/background); epilogues are disallowed — blend first
     (:func:`dual_band_destripe_y_sharded`)."""
-    if dual and (flat is not None or wrap):
+    if flat is not None and wrap:
+        raise ValueError("flat-field and wrap epilogues are exclusive")
+    if dual and (flat is not None or dark is not None or wrap):
         raise ValueError(
             "dual mode returns both float32 bands; blend them before "
             "applying a flat-field or wrap epilogue"
@@ -557,6 +559,11 @@ def dual_band_destripe_y_sharded(
     the plane-sharded dual step (runtime/pipeline.py)."""
     if not isinstance(crossover, jax.core.Tracer) and not crossover > 0:
         raise ValueError(f"dual-band crossover must be > 0, got {crossover}")
+    if flat is not None and wrap:
+        raise ValueError("flat-field and wrap epilogues are exclusive")
+    # paired-or-absent + extent normalization up front — a dark passed
+    # without flat must raise here, not be silently dropped
+    flat, dark = normalize_flat_dark(plan.height, plan.width, flat, dark)
     from ..ops.dual_band import _smooth
 
     b = x.shape[0]
@@ -578,7 +585,6 @@ def dual_band_destripe_y_sharded(
     if flat is not None:
         from ..ops.flatfield import flatfield_correction
 
-        flat, dark = normalize_flat_dark(plan.height, plan.width, flat, dark)
         return flatfield_correction(blended, flat, dark)
     if wrap:
         return wrap_cast(blended)

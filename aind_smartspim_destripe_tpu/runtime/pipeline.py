@@ -209,20 +209,17 @@ def _make_halo_step(plan, microscope_high_int, with_flatfield, devices,
         halo_constants,
     )
 
-    # Rows shard EXACTLY (no pad: padding rows would shift the symmetric
-    # boundary extension and the per-plane classifier/Otsu statistics away
-    # from the unsharded kernel) — when the row count doesn't divide the
-    # pool, shard over the largest divisor of H that fits instead.
+    # Rows that don't divide the pool are handled by a pad -> crop
+    # sandwich that keeps the NUMERICS on exactly H rows: put() zero-pads
+    # the uint16 batch to the next mesh multiple (device_put requires an
+    # evenly divisible sharded axis), the jitted step CROPS the pad off
+    # before any math (so the symmetric boundary extension and the
+    # per-plane classifier/Otsu statistics see the real plane), and pads
+    # the output back for the even out_sharding. GSPMD partitions the
+    # uneven intermediates itself; callers crop via ``fn.pad_rows``.
     n_dev = len(devices)
-    if plan.height % n_dev:
-        n_dev = max(
-            d for d in range(1, n_dev + 1) if plan.height % d == 0
-        )
-        logging.getLogger(__name__).warning(
-            "Y-halo route: %d rows not divisible by %d devices; sharding "
-            "over %d instead", plan.height, len(devices), n_dev,
-        )
-        devices = devices[:n_dev]
+    H_rows = plan.height
+    pad_rows = -(-H_rows // n_dev) * n_dev - H_rows
     mesh = Mesh(np.asarray(devices), ("z",))
     row_spec = NamedSharding(mesh, P(None, "z", None))
     rep = NamedSharding(mesh, P())
@@ -237,32 +234,45 @@ def _make_halo_step(plan, microscope_high_int, with_flatfield, devices,
 
     @partial(jax.jit, donate_argnums=(0,), out_shardings=row_spec)
     def step(images, flat, dark, consts, harrs):
+        if pad_rows:
+            images = images[:, :H_rows, :]  # crop BEFORE any math
         if dual:
             kw = dict(crossover=crossover, threshold=dual_threshold)
             if with_flatfield:
-                return dual_band_destripe_y_sharded(
+                out = dual_band_destripe_y_sharded(
                     images, mesh, plan, consts, harrs, halo_static,
                     flat=flat, dark=dark, **kw,
                 )
-            return dual_band_destripe_y_sharded(
-                images, mesh, plan, consts, harrs, halo_static,
-                wrap=True, **kw,
-            )
-        if with_flatfield:
-            return destripe_y_sharded(
+            else:
+                out = dual_band_destripe_y_sharded(
+                    images, mesh, plan, consts, harrs, halo_static,
+                    wrap=True, **kw,
+                )
+        elif with_flatfield:
+            out = destripe_y_sharded(
                 images, mesh, plan, consts, harrs, halo_static,
                 microscope_high_int=microscope_high_int,
                 flat=flat, dark=dark,
             )
-        return destripe_y_sharded(
-            images, mesh, plan, consts, harrs, halo_static,
-            microscope_high_int=microscope_high_int, wrap=True,
-        )
+        else:
+            out = destripe_y_sharded(
+                images, mesh, plan, consts, harrs, halo_static,
+                microscope_high_int=microscope_high_int, wrap=True,
+            )
+        if pad_rows:
+            out = jnp.pad(out, [(0, 0), (0, pad_rows), (0, 0)])
+        return out
+
+    def put(chunk):
+        if pad_rows:
+            chunk = np.pad(chunk, [(0, 0), (0, pad_rows), (0, 0)])
+        return jax.device_put(chunk, row_spec)
 
     fn = lambda images, flat, dark: step(images, flat, dark, consts, harrs)
     fn.n_devices = n_dev
     fn.shards_rows = True  # batch need not divide the mesh; rows do
-    fn.put = lambda chunk: jax.device_put(chunk, row_spec)
+    fn.pad_rows = pad_rows  # crop fn(...)[:, :plan.height] when nonzero
+    fn.put = put
     fn.put_const = lambda c: jax.device_put(c, rep)
     return fn
 
@@ -377,9 +387,19 @@ class StreamingDestriper:
         # Plane-sharded step: round the compiled batch up so every shard
         # gets an equal plane count. The halo step shards ROWS instead —
         # rounding its batch to n_dev multiples would inflate memory by up
-        # to n_dev-1 beyond-HBM planes per dispatch.
+        # to n_dev-1 beyond-HBM planes per dispatch; its batch is instead
+        # CAPPED so the per-device working set of one dispatch stays under
+        # DESTRIPE_HALO_BATCH_BYTES (default 2 GiB). The ~8x factor is the
+        # kernel's per-plane f32 footprint relative to one plane: x + xlog
+        # + the coefficient/delta ladders + stacked synthesis temporaries
+        # (parallel/halo.py operator-memory accounting).
         if getattr(self._step, "shards_rows", False):
-            self.device_batch = max(1, device_batch)
+            plane_dev = h * w * 4 / max(1, self._step.n_devices)
+            budget = int(
+                os.environ.get("DESTRIPE_HALO_BATCH_BYTES", str(2 << 30))
+            )
+            cap = max(1, int(budget / (8.0 * plane_dev)))
+            self.device_batch = max(1, min(device_batch, cap))
         else:
             self.device_batch = -(-device_batch // n_dev) * n_dev
         self._flat = self._step.put_const(flat)
@@ -451,6 +471,10 @@ class StreamingDestriper:
         async dispatch overlap; returns uint16 (n,H,W)."""
         n = data.shape[0]
         b = self.device_batch
+        # halo steps with non-mesh-divisible rows return pad_rows extra
+        # zero rows (even out_sharding); crop them off at conversion
+        crop = getattr(self._step, "pad_rows", 0)
+        rows = data.shape[1]
         outs = []
         pending = deque()
         for i in range(0, n, b):
@@ -463,10 +487,12 @@ class StreamingDestriper:
             # keep at most 2 dispatches in flight (double buffering)
             while len(pending) > 2:
                 j, k, res = pending.popleft()
-                outs.append((j, np.asarray(res)[:k]))
+                arr = np.asarray(res)[:k]
+                outs.append((j, arr[:, :rows] if crop else arr))
         while pending:
             j, k, res = pending.popleft()
-            outs.append((j, np.asarray(res)[:k]))
+            arr = np.asarray(res)[:k]
+            outs.append((j, arr[:, :rows] if crop else arr))
         outs.sort(key=lambda t: t[0])
         return np.concatenate([o for _, o in outs], axis=0)
 

@@ -447,3 +447,25 @@ def test_apply_notch_fft_wide_width_accuracy():
     # float64-relative error must stay far below the quantization the
     # uint16 store applies (0.5 LSB) at this signal scale
     assert float(err.max()) < 0.05, float(err.max())
+
+
+def test_halo_epilogue_contract_errors():
+    """Epilogue misuse must raise, matching destripe_batch: flat+wrap are
+    exclusive, dark without flat is unpaired (not silently dropped)."""
+    from aind_smartspim_destripe_tpu.parallel.halo import (
+        destripe_y_sharded, dual_band_destripe_y_sharded,
+    )
+
+    mesh = _mesh()
+    img = _mixed_batch(64, 80)
+    plan = _plan(64, 80)
+    one = jnp.ones((1, 1), jnp.float32)
+    with pytest.raises(ValueError, match="exclusive"):
+        destripe_y_sharded(jnp.asarray(img), mesh, plan,
+                           flat=one, dark=one * 0, wrap=True)
+    with pytest.raises(ValueError, match="together"):
+        dual_band_destripe_y_sharded(jnp.asarray(img), mesh, plan,
+                                     dark=one * 0)
+    with pytest.raises(ValueError, match="exclusive"):
+        dual_band_destripe_y_sharded(jnp.asarray(img), mesh, plan,
+                                     flat=one, dark=one * 0, wrap=True)

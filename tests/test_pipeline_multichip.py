@@ -185,10 +185,13 @@ def test_destripe_zarr_e2e_auto_halo(tmp_path, monkeypatch):
     assert levels["halo"][0].any()
 
 
-def test_halo_step_ragged_rows_divisor_fallback():
-    """Row counts that don't divide the device pool shard over the largest
-    divisor that fits (padding would shift the symmetric boundary extension
-    and the per-plane stats) and still match the unsharded kernel."""
+def test_halo_step_ragged_rows_pad_crop_sandwich():
+    """Row counts that don't divide the device pool still shard over the
+    FULL mesh: put() zero-pads rows to the next mesh multiple, the jitted
+    step crops the pad off before any math (so the symmetric boundary
+    extension and per-plane stats see the real plane) and re-pads the
+    output for the even out_sharding; callers crop via step.pad_rows.
+    Must match the unsharded kernel, incl. through StreamingDestriper."""
     if len(jax.devices()) < 8:
         pytest.skip("needs the 8-device CPU mesh")
     from aind_smartspim_destripe_tpu.ops.filter import (
@@ -201,7 +204,7 @@ def test_halo_step_ragged_rows_divisor_fallback():
 
     os.environ["DESTRIPE_HALO_THRESHOLD_BYTES"] = "1024"
     try:
-        for Hr, exp_dev in ((70, 7), (61, 1)):  # composite and prime rows
+        for Hr in (70, 61):  # composite and prime row counts
             plan = build_plan(
                 Hr, 90,
                 FilterConfig(wavelet="db3", level=None, sigma=64,
@@ -211,21 +214,35 @@ def test_halo_step_ragged_rows_divisor_fallback():
             )
             step = make_device_step(plan, 2500.0, False,
                                     devices=jax.devices())
-            assert step.n_devices == exp_dev and step.shards_rows
+            assert step.n_devices == len(jax.devices()) and step.shards_rows
+            assert step.pad_rows == (-(-Hr // 8) * 8) - Hr
             rng = np.random.default_rng(0)
             vol = rng.integers(0, 3000, size=(2, Hr, 90)).astype(np.uint16)
             out = np.asarray(step(
                 step.put(vol),
                 step.put_const(np.ones((1, 1), np.float32)),
                 step.put_const(np.zeros((1, 1), np.float32)),
-            ))
+            ))[:, :Hr]
             want = np.asarray(wrap_cast(destripe_batch(
                 plan, jnp.asarray(vol, jnp.float32), 2500.0
             )))
             d = out.astype(int) - want.astype(int)
             assert np.abs(d).max() <= 1 and (d != 0).mean() < 1e-3
 
-
+            # pipeline level: the conversion path must crop the pad rows
+            vol6 = rng.integers(0, 3000, size=(6, Hr, 90)).astype(np.uint16)
+            sink = np.zeros_like(vol6)
+            pipe = StreamingDestriper(
+                vol6, sink, plan, slab=4, device_batch=2, journal=False,
+                devices=jax.devices(),
+            )
+            pstats = pipe.run()
+            assert pstats.halo and pstats.planes == 6
+            want6 = np.asarray(wrap_cast(destripe_batch(
+                plan, jnp.asarray(vol6[:2], jnp.float32), 2500.0
+            )))
+            d6 = sink[:2].astype(int) - want6.astype(int)
+            assert np.abs(d6).max() <= 1 and (d6 != 0).mean() < 1e-3
     finally:
         del os.environ["DESTRIPE_HALO_THRESHOLD_BYTES"]
 
