@@ -469,3 +469,51 @@ def test_halo_epilogue_contract_errors():
     with pytest.raises(ValueError, match="exclusive"):
         dual_band_destripe_y_sharded(jnp.asarray(img), mesh, plan,
                                      flat=one, dark=one * 0, wrap=True)
+
+
+def test_dual_band_y_sharded_banded_x_combo():
+    """Dual-band x banded/spectral-x on the sharded layout: force the width
+    gate below every level; must still match the unsharded dual step (the
+    two features compose — shared decomposition with blocked x-passes and
+    rfft notches for both bands). Gate: a different x formulation
+    reassociates f32 sums; a 1-ulp coefficient difference can flip a
+    per-plane Otsu bin into isolated tens-of-counts pixels (same mechanism
+    as test_destripe_y_sharded_banded_x_matches_dense) — gate on
+    almost-everywhere <= 1 LSB + PSNR, never bitwise."""
+    import os
+
+    mesh = _mesh()
+    os.environ["DESTRIPE_NO_PALLAS"] = "1"
+    try:
+        from aind_smartspim_destripe_tpu.ops.dual_band import (
+            dual_band_destripe_batch,
+        )
+        from aind_smartspim_destripe_tpu.ops.filter import wrap_cast
+        from aind_smartspim_destripe_tpu.parallel.halo import (
+            dual_band_destripe_y_sharded,
+        )
+
+        img = _mixed_batch()
+        plan = _plan(*img.shape[1:])
+        want = np.asarray(
+            wrap_cast(
+                dual_band_destripe_batch(
+                    plan, jnp.asarray(img), 100.0, -1.0,
+                    consts=plan.constants(),
+                )
+            )
+        )
+        got = np.asarray(
+            dual_band_destripe_y_sharded(
+                jnp.asarray(img), mesh, plan,
+                crossover=100.0, threshold=-1.0, wrap=True,
+                banded_x_min_w=1,
+            )
+        )
+        d = got.astype(np.int64) - want.astype(np.int64)
+        assert float((np.abs(d) > 1).mean()) < 1e-3
+        mse = float((d.astype(np.float64) ** 2).mean())
+        psnr = 10 * np.log10(65535.0**2 / max(mse, 1e-12))
+        assert psnr >= 90.0, psnr
+    finally:
+        os.environ.pop("DESTRIPE_NO_PALLAS", None)
