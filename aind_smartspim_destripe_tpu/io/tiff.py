@@ -70,6 +70,18 @@ def _read_values(data, bo, ftype, count, inline, inline_size):
     return struct.unpack(bo + f"{count}{fmt}", raw)
 
 
+def _unpack_at(bo: str, fmt: str, data: bytes, off: int):
+    """struct.unpack at an offset with the truncation contract: a header /
+    IFD offset pointing past EOF (fuzz-reachable with one flipped byte)
+    raises ValueError like every other malformed-TIFF path, never
+    struct.error."""
+    size = struct.calcsize(fmt)
+    raw = data[off : off + size]
+    if len(raw) != size:
+        raise ValueError("truncated TIFF structure")
+    return struct.unpack(bo + fmt, raw)
+
+
 def _parse_ifds(data: bytes):
     """Yield (byte_order, {tag: values}) per IFD for classic or BigTIFF."""
     if data[:2] == b"II":
@@ -78,17 +90,17 @@ def _parse_ifds(data: bytes):
         bo = ">"
     else:
         raise ValueError("not a TIFF file")
-    (magic,) = struct.unpack(bo + "H", data[2:4])
+    (magic,) = _unpack_at(bo, "H", data, 2)
     if magic == 42:
         big = False
-        (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+        (ifd_off,) = _unpack_at(bo, "I", data, 4)
         entry_size, count_fmt, off_fmt, inline_size = 12, "H", "I", 4
     elif magic == 43:
         big = True
-        offsize, zero = struct.unpack(bo + "HH", data[4:8])
+        offsize, zero = _unpack_at(bo, "HH", data, 4)
         if offsize != 8 or zero != 0:
             raise ValueError("malformed BigTIFF header")
-        (ifd_off,) = struct.unpack(bo + "Q", data[8:16])
+        (ifd_off,) = _unpack_at(bo, "Q", data, 8)
         entry_size, count_fmt, off_fmt, inline_size = 20, "Q", "Q", 8
     else:
         raise ValueError(f"bad TIFF magic {magic}")
@@ -97,13 +109,13 @@ def _parse_ifds(data: bytes):
     seen = set()
     while ifd_off and ifd_off not in seen:
         seen.add(ifd_off)
-        (n_entries,) = struct.unpack(
-            bo + count_fmt, data[ifd_off : ifd_off + struct.calcsize(count_fmt)]
-        )
+        (n_entries,) = _unpack_at(bo, count_fmt, data, ifd_off)
         pos = ifd_off + struct.calcsize(count_fmt)
         tags = {}
         for _ in range(n_entries):
             entry = data[pos : pos + entry_size]
+            if len(entry) != entry_size:
+                raise ValueError("truncated TIFF IFD entry")
             pos += entry_size
             tag, ftype = struct.unpack(bo + "HH", entry[:4])
             if big:
@@ -115,9 +127,7 @@ def _parse_ifds(data: bytes):
             vals = _read_values(data, bo, ftype, cnt, inline, inline_size)
             if vals is not None:
                 tags[tag] = vals
-        (ifd_off,) = struct.unpack(
-            bo + off_fmt, data[pos : pos + struct.calcsize(off_fmt)]
-        )
+        (ifd_off,) = _unpack_at(bo, off_fmt, data, pos)
         ifds.append((bo, tags))
     return ifds
 
@@ -187,6 +197,11 @@ def _decode_page(data: bytes, bo: str, tags: dict) -> np.ndarray:
     samples = tags.get(_SAMPLES, (1,))[0]
     if samples != 1:
         raise ValueError(f"only 1 sample/pixel supported, got {samples}")
+    for req in (_WIDTH, _LENGTH, _STRIP_OFFSETS, _STRIP_COUNTS):
+        # fuzz-reachable: one flipped tag id drops a required entry — the
+        # contract is ValueError for every malformed file, never KeyError
+        if req not in tags:
+            raise ValueError(f"TIFF page missing required tag {req}")
     width = tags[_WIDTH][0]
     length = tags[_LENGTH][0]
     bits = tags.get(_BITS, (1,))[0]
@@ -217,8 +232,10 @@ def _decode_page(data: bytes, bo: str, tags: dict) -> np.ndarray:
         raw = data[off : off + cnt]
         if comp == 1:
             seg = raw[:expected]
-        elif comp in (8, 32946):  # deflate
-            seg = zlib.decompress(raw)[:expected]
+        elif comp in (8, 32946):  # deflate — bound inflation at the strip's
+            # expected size (a crafted frame can expand far past it before
+            # an unbounded decompress returns; same contract as io/blosc)
+            seg = zlib.decompressobj().decompress(bytes(raw), expected)
         elif comp == 32773:  # packbits
             seg = _unpackbits_decode(raw, expected)
         elif comp == 5:  # lzw

@@ -200,3 +200,45 @@ def test_zarr_unknown_filter_clear_error(tmp_path):
     _make_filtered_array(str(p), data, [{"id": "bz2ish"}], lambda d: d.tobytes())
     with pytest.raises(NotImplementedError, match="bz2ish"):
         ZarrArray(str(p))
+
+
+def test_native_tiff_malformed_raises_valueerror(tmp_path):
+    """Fuzz-derived contract regressions: every malformed-file path raises
+    ValueError — an IFD offset past EOF must not escape as struct.error,
+    and a missing required tag (ImageLength flipped away) not as KeyError."""
+    import struct
+
+    from aind_smartspim_destripe_tpu.io import tiff as T
+
+    p = str(tmp_path / "base.tiff")
+    img = (np.arange(32 * 40, dtype=np.uint16).reshape(32, 40) % 997)
+    T.tiff_imwrite(p, img)
+    base = open(p, "rb").read()
+
+    # 1. first-IFD offset pointing past EOF
+    b = bytearray(base)
+    b[4:8] = struct.pack("<I", len(base) + 1000)
+    with pytest.raises(ValueError):
+        T._parse_ifds(bytes(b))
+
+    # 2. required ImageLength (257) tag id flipped to an unknown id —
+    # locate the entry inside the IFD itself (entries are sorted, 12 bytes)
+    b = bytearray(base)
+    (ifd_off,) = struct.unpack("<I", base[4:8])
+    (n_entries,) = struct.unpack("<H", base[ifd_off : ifd_off + 2])
+    i = -1
+    for e in range(n_entries):
+        off = ifd_off + 2 + 12 * e
+        if struct.unpack("<H", base[off : off + 2])[0] == 257:
+            i = off
+            break
+    assert i > 0
+    b[i : i + 2] = struct.pack("<H", 0x9999)
+    with pytest.raises(ValueError, match="required tag"):
+        pages = T._parse_ifds(bytes(b))
+        for bo, tags in pages:
+            T._decode_page(bytes(b), bo, tags)
+
+    # 3. truncated mid-IFD
+    with pytest.raises(ValueError):
+        T._parse_ifds(base[: 8 + 5])
