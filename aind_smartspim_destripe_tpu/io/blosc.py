@@ -425,7 +425,14 @@ def decompress_py(frame: bytes | memoryview) -> bytes:
         if _zstd is None:  # pragma: no cover
             raise RuntimeError("zstandard module unavailable")
         dctx = _zstd.ZstdDecompressor()
-        decomp = lambda b, hint: dctx.decompress(b, max_output_size=hint)
+
+        def decomp(b, hint):
+            # decoder contract: every malformed frame raises ValueError —
+            # zstandard's ZstdError must not escape (fuzz-derived)
+            try:
+                return dctx.decompress(b, max_output_size=hint)
+            except _zstd.ZstdError as e:
+                raise ValueError(f"corrupt zstd block: {e}") from None
     elif code == 3:
         import zlib
 
@@ -438,7 +445,10 @@ def decompress_py(frame: bytes | memoryview) -> bytes:
             if hint <= 0:
                 raise ValueError("zlib block with zero declared length")
             obj = zlib.decompressobj()
-            out = obj.decompress(bytes(b), hint)
+            try:
+                out = obj.decompress(bytes(b), hint)
+            except zlib.error as e:  # decoder contract: ValueError only
+                raise ValueError(f"corrupt zlib block: {e}") from None
             if obj.unconsumed_tail or not obj.eof or obj.unused_data:
                 raise ValueError(
                     f"zlib block decoded past declared length {hint}"
@@ -463,6 +473,10 @@ def decompress_py(frame: bytes | memoryview) -> bytes:
         and blocksize // typesize >= 128
     )
     nblocks = max(1, -(-nbytes // blocksize)) if blocksize else 1
+    if len(frame) < 16 + 4 * nblocks:
+        # a corrupt header can declare a tiny blocksize for a large nbytes;
+        # the offsets table then claims more than the whole frame
+        raise ValueError("truncated blosc frame (block offsets table)")
     offsets = struct.unpack(f"<{nblocks}i", frame[16 : 16 + 4 * nblocks])
     out = bytearray()
     for b, off in enumerate(offsets):
@@ -470,6 +484,11 @@ def decompress_py(frame: bytes | memoryview) -> bytes:
         nsplits = typesize if (may_split and neblock == blocksize) else 1
         ssize = neblock // nsplits
         parts = []
+        if off < 0:
+            # offsets are signed on the wire; a negative one would wrap
+            # through Python's negative slicing below and bypass the
+            # bounds guards (fuzz-derived)
+            raise ValueError("negative blosc block offset")
         p = off
         for _j in range(nsplits):
             if p + 4 > len(frame):
@@ -816,6 +835,8 @@ def decompress(frame) -> bytes:
     lib = _load_native()
     if lib:
         frame_b = bytes(frame)
+        if len(frame_b) < 16:
+            raise ValueError("truncated blosc frame")
         nbytes = struct.unpack("<I", frame_b[4:8])[0]
         code = (frame_b[2] >> 5) & 0x07
         if code in (0, 1, 2, 4) or frame_b[2] & 0x02:

@@ -405,3 +405,37 @@ def test_adaptive_literal_gate():
         frame = blosc.compress(stripes.tobytes(), typesize=2, clevel=3)
         assert blosc.system_decompress(frame, stripes.nbytes) == \
             stripes.tobytes()
+
+
+def test_mutated_frame_decoder_contract():
+    """Fuzz-derived (byte-mutation soak): every malformed frame must raise
+    ValueError (py) / ValueError-or-RuntimeError (native) — never
+    struct.error, zlib.error, or zstandard.ZstdError."""
+    import struct
+
+    raw = (np.arange(40000) % 251).astype(np.uint8).tobytes()
+    frame = bytearray(bytes(blosc.compress(raw, 2, 1, 1)))
+
+    # 1. sub-16-byte frame through the native entry
+    with pytest.raises(ValueError):
+        blosc.decompress(bytes(frame[:7]))
+
+    # 2. tiny declared blocksize -> offsets table longer than the frame
+    b = bytearray(frame)
+    b[8:12] = struct.pack("<I", 16)  # blocksize = 16 -> thousands of blocks
+    with pytest.raises(ValueError):
+        blosc.decompress_py(bytes(b))
+
+    # 3. negative signed block offset must not wrap through negative slicing
+    b = bytearray(frame)
+    b[16:20] = struct.pack("<i", -5)
+    with pytest.raises(ValueError):
+        blosc.decompress_py(bytes(b))
+
+    # 4. corrupt zstd payload: ZstdError must surface as ValueError
+    b = bytearray(frame)
+    off = struct.unpack("<i", bytes(b[16:20]))[0]
+    for i in range(off + 4, min(off + 24, len(b))):
+        b[i] ^= 0xFF
+    with pytest.raises(ValueError):
+        blosc.decompress_py(bytes(b))
