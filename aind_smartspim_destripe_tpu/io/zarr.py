@@ -363,9 +363,19 @@ class ZarrArray:
         if meta.get("order", "C") != "C":
             raise NotImplementedError("only C-order arrays supported")
         self.meta = meta
-        self.shape = tuple(meta["shape"])
-        self.chunks = tuple(meta["chunks"])
-        self.dtype = np.dtype(meta["dtype"])
+        # corrupt metadata contract: a malformed .zarray raises ValueError
+        # with the offending field, never KeyError/TypeError (fuzz-derived)
+        try:
+            self.shape = tuple(int(s) for s in meta["shape"])
+            self.chunks = tuple(int(c) for c in meta["chunks"])
+            self.dtype = np.dtype(meta["dtype"])
+        except (KeyError, TypeError) as e:
+            raise ValueError(f"malformed .zarray metadata: {e!r}") from None
+        if any(s < 0 for s in self.shape) or any(c <= 0 for c in self.chunks):
+            raise ValueError(
+                f"malformed .zarray geometry: shape={self.shape} "
+                f"chunks={self.chunks}"
+            )
         # filter chain: original dtype -> f0 -> f1 -> ... -> compressor
         self.filters = []
         dt = self.dtype

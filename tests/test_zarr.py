@@ -259,3 +259,27 @@ def test_null_fill_value_tolerated(tmp_path):
     _json.dump(meta, open(os.path.join(p, ".zarray"), "w"))
     reopened = ZarrArray.open(p)
     np.testing.assert_array_equal(reopened[:, :], np.zeros((4, 4), np.uint16))
+
+
+def test_malformed_zarray_metadata_raises_valueerror(tmp_path):
+    """Fuzz-derived contract: a corrupt .zarray raises ValueError (or the
+    JSONDecodeError subclass), never KeyError/TypeError/ZeroDivisionError."""
+    import json
+
+    p = str(tmp_path / "m")
+    ZarrArray.create(p, (8, 8), (4, 4), np.uint16)
+    good = json.load(open(p + "/.zarray"))
+
+    for mutate in (
+        lambda m: m.pop("chunks"),              # missing key -> was KeyError
+        lambda m: m.pop("shape"),
+        lambda m: m.update(dtype=12345),        # junk dtype -> was TypeError
+        lambda m: m.update(chunks=[4, 0]),      # zero chunk -> div-by-zero
+        lambda m: m.update(shape=[-8, 8]),      # negative extent
+        lambda m: m.update(chunks="nope"),      # non-iterable-of-int
+    ):
+        m = dict(good)
+        mutate(m)
+        json.dump(m, open(p + "/.zarray", "w"))
+        with pytest.raises(ValueError):
+            ZarrArray.open(p)
