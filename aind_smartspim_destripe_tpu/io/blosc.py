@@ -762,9 +762,16 @@ def decompress_batch(frames: list, threads: Optional[int] = None) -> list:
     frames_b = [f if isinstance(f, bytes) else bytes(f) for f in frames]
     if not lib or not frames_b:
         return [decompress_py(f) for f in frames_b]
-    nbytes = [struct.unpack("<I", f[4:8])[0] for f in frames_b]
-    codes = [(f[2] >> 5) & 0x07 for f in frames_b]
-    native_ok = [c in (0, 1, 2, 4) or (f[2] & 0x02) for c, f in zip(codes, frames_b)]
+    # frames shorter than a blosc header can't even be classified — route
+    # them to the python decoder, which raises the contract ValueError
+    nbytes = [
+        struct.unpack("<I", f[4:8])[0] if len(f) >= 16 else 0
+        for f in frames_b
+    ]
+    native_ok = [
+        len(f) >= 16 and (((f[2] >> 5) & 0x07) in (0, 1, 2, 4) or (f[2] & 0x02))
+        for f in frames_b
+    ]
     n = len(frames_b)
     caps = [max(m, 1) for m in nbytes]
     offs = np.concatenate([[0], np.cumsum(caps)])

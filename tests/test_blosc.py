@@ -439,3 +439,16 @@ def test_mutated_frame_decoder_contract():
         b[i] ^= 0xFF
     with pytest.raises(ValueError):
         blosc.decompress_py(bytes(b))
+
+
+def test_decompress_batch_short_frames_route_to_python():
+    """Frames shorter than a blosc header can't be classified for the
+    native fan-out — they must fall through to the python decoder's
+    ValueError, not die in header unpacking (fuzz-derived)."""
+    raw = bytes(np.arange(4096, dtype=np.uint16))
+    good = bytes(blosc.compress(raw, 2, 1, 1))
+    with pytest.raises(ValueError):
+        blosc.decompress_batch([good, good[:7]])
+    # an all-good batch still round-trips
+    outs = blosc.decompress_batch([good, good])
+    assert all(bytes(o) == raw for o in outs)
