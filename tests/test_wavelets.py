@@ -298,3 +298,39 @@ def test_wavedec2_matches_bruteforce_literals(name, shape):
     for g, w in zip(got[1:], want[1:]):
         for gb, wb in zip(g, w):
             np.testing.assert_allclose(gb, wb, atol=1e-5)
+
+
+def test_db_high_orders_full_characterization():
+    """db5..db20 (beyond the vendored literals): the three properties that
+    UNIQUELY characterize a Daubechies filter of order N up to reflection —
+    (1) orthonormality of even shifts (sum_k h[k] h[k+2m] = delta_m),
+    (2) N vanishing moments of the highpass (sum_k k^p g[k] = 0, p < N),
+    (3) minimum phase (energy front-loaded, the pywt convention) — plus a
+    multilevel perfect-reconstruction roundtrip at the highest order."""
+    for order in (5, 7, 9, 12, 16, 20):
+        wav = W.wavelet(f"db{order}")
+        h = wav.rec_lo_arr
+        g = wav.dec_hi
+        # (1) orthonormal shifts
+        for m in range(order):
+            dot = float(np.dot(h[: len(h) - 2 * m], h[2 * m :]))
+            assert abs(dot - (1.0 if m == 0 else 0.0)) < 1e-9, (order, m)
+        # (2) vanishing moments (normalize k^p to the filter span so high
+        # powers stay O(1); the zero must hold relative to |g|)
+        k = np.arange(len(g), dtype=np.float64)
+        for p in range(order):
+            mom = float(np.sum(((k / len(g)) ** p) * g))
+            assert abs(mom) < 1e-7, (order, p, mom)
+        # (3) minimum phase: cumulative energy of the front half dominates
+        half = len(h) // 2
+        assert float(np.sum(h[:half] ** 2)) > float(np.sum(h[half:] ** 2)), order
+
+    # perfect reconstruction through the production matmul path at db20
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(20)
+    x = rng.normal(size=(2, 128, 160)).astype(np.float32) * 10
+    wav = W.wavelet("db20")
+    ca, det = W.dwt2(jnp.asarray(x), wav)
+    rec = np.asarray(W.idwt2(ca, det, wav))[..., :128, :160]
+    np.testing.assert_allclose(rec, x, atol=5e-4, rtol=1e-4)
