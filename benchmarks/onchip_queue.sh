@@ -30,7 +30,7 @@ RC=0
     timeout 1500 python benchmarks/run_configs.py 1 2
     # 5. banded-x crossover (pins the DESTRIPE_BANDED_X_MIN_W default):
     #    dense vs banded/spectral x through the halo kernel at 4k/8k/16k
-    DESTRIPE_NO_PALLAS=1 timeout 1800 python benchmarks/kernel_sweep.py bandedx 4096 8192 16384
+    DESTRIPE_NO_PALLAS=1 timeout 1800 python benchmarks/kernel_sweep.py bandedx 2048 4096 8192 16384
     echo "=== onchip queue done $(date -u) ==="
   else
     RC=1
