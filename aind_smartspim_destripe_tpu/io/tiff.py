@@ -229,13 +229,22 @@ def _decode_page(data: bytes, bo: str, tags: dict) -> np.ndarray:
     for i, (off, cnt) in enumerate(zip(offsets, counts)):
         nrows = min(rows_per_strip, length - i * rows_per_strip)
         expected = nrows * row_bytes
+        if expected <= 0:
+            # surplus/zero-row strip entries decode to nothing; the final
+            # frombuffer length check raises if real rows went missing.
+            # Skipping also keeps the deflate bound meaningful: zlib treats
+            # max_length=0 as UNLIMITED (the zip-bomb hole this bound closes)
+            continue
         raw = data[off : off + cnt]
         if comp == 1:
             seg = raw[:expected]
         elif comp in (8, 32946):  # deflate — bound inflation at the strip's
             # expected size (a crafted frame can expand far past it before
             # an unbounded decompress returns; same contract as io/blosc)
-            seg = zlib.decompressobj().decompress(bytes(raw), expected)
+            try:
+                seg = zlib.decompressobj().decompress(bytes(raw), expected)
+            except zlib.error as e:  # malformed-TIFF contract: ValueError
+                raise ValueError(f"corrupt deflate strip: {e}") from None
         elif comp == 32773:  # packbits
             seg = _unpackbits_decode(raw, expected)
         elif comp == 5:  # lzw

@@ -366,8 +366,18 @@ class ZarrArray:
         # corrupt metadata contract: a malformed .zarray raises ValueError
         # with the offending field, never KeyError/TypeError (fuzz-derived)
         try:
-            self.shape = tuple(int(s) for s in meta["shape"])
-            self.chunks = tuple(int(c) for c in meta["chunks"])
+            shape, chunks = meta["shape"], meta["chunks"]
+            # must be JSON arrays of integers — a digit STRING would be
+            # coerced element-wise by int() ("88" -> (8, 8)) and floats
+            # silently truncated, fabricating geometry instead of raising
+            if not isinstance(shape, (list, tuple)) or not isinstance(
+                chunks, (list, tuple)
+            ):
+                raise TypeError("shape/chunks must be arrays")
+            if not all(isinstance(v, int) for v in (*shape, *chunks)):
+                raise TypeError("shape/chunks entries must be integers")
+            self.shape = tuple(shape)
+            self.chunks = tuple(chunks)
             self.dtype = np.dtype(meta["dtype"])
         except (KeyError, TypeError) as e:
             raise ValueError(f"malformed .zarray metadata: {e!r}") from None

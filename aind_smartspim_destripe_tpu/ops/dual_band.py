@@ -110,6 +110,23 @@ def dual_band_destripe_batch(
             x, fore, back, centers, float(crossover)
         )
 
+    return blend_bands_xla(x, fore, back, centers, crossover, smooth_radius)
+
+
+def blend_bands_xla(
+    x: jax.Array,
+    fore: jax.Array,
+    back: jax.Array,
+    centers: jax.Array,
+    crossover,
+    smooth_radius: int = 8,
+) -> jax.Array:
+    """The dual-band blend in its plain XLA formulation: per-plane sigmoid
+    foreground fraction -> edge-replicated box smooth -> band mix. The ONE
+    definition shared by the plane-batch fallback above and the row-sharded
+    route (parallel/halo.dual_band_destripe_y_sharded, where GSPMD
+    partitions it) — the two outputs are gated to <= 1 LSB of each other,
+    so the numerics must come from a single site."""
     frac = 1.0 / (1.0 + jnp.exp(-(x - centers[:, None, None]) / crossover))
     frac = _smooth(frac, smooth_radius)
     return fore * frac + back * (1.0 - frac)

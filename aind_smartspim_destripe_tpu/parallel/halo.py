@@ -564,7 +564,7 @@ def dual_band_destripe_y_sharded(
     # paired-or-absent + extent normalization up front — a dark passed
     # without flat must raise here, not be silently dropped
     flat, dark = normalize_flat_dark(plan.height, plan.width, flat, dark)
-    from ..ops.dual_band import _smooth
+    from ..ops.dual_band import blend_bands_xla
 
     b = x.shape[0]
     xf = x.astype(jnp.float32)
@@ -578,9 +578,9 @@ def dual_band_destripe_y_sharded(
     centers = jnp.where(
         threshold < 0, otsu_centers, jnp.full_like(otsu_centers, threshold)
     )
-    frac = 1.0 / (1.0 + jnp.exp(-(xf - centers[:, None, None]) / crossover))
-    frac = _smooth(frac, smooth_radius)
-    blended = fore * frac + back * (1.0 - frac)
+    blended = blend_bands_xla(
+        xf, fore, back, centers, crossover, smooth_radius
+    )
 
     if flat is not None:
         from ..ops.flatfield import flatfield_correction

@@ -242,3 +242,46 @@ def test_native_tiff_malformed_raises_valueerror(tmp_path):
     # 3. truncated mid-IFD
     with pytest.raises(ValueError):
         T._parse_ifds(base[: 8 + 5])
+
+
+def test_native_tiff_deflate_bomb_and_zlib_error(tmp_path):
+    """Review-derived: (1) a strip whose expected size is 0 must not hand
+    zlib max_length=0 (UNLIMITED — the zip-bomb hole); (2) a corrupt
+    deflate strip raises ValueError per the malformed-TIFF contract, not
+    zlib.error."""
+    import struct
+    import zlib as _z
+
+    from aind_smartspim_destripe_tpu.io import tiff as T
+
+    p = str(tmp_path / "d.tiff")
+    img = (np.arange(64 * 80, dtype=np.uint16).reshape(64, 80) % 997)
+    T.tiff_imwrite(p, img, compression_level=3)
+    base = bytearray(open(p, "rb").read())
+
+    # corrupt the strip payload -> zlib.error must surface as ValueError
+    (ifd_off,) = struct.unpack("<I", bytes(base[4:8]))
+    b = bytearray(base)
+    # strip data starts at byte 8 for this writer (header then payload)
+    for i in range(8, 24):
+        b[i] ^= 0xAA
+    bp = str(tmp_path / "corrupt.tiff")
+    open(bp, "wb").write(bytes(b))
+    with pytest.raises((ValueError, OSError)):
+        pages = T._parse_ifds(bytes(b))
+        for bo, tags in pages:
+            T._decode_page(bytes(b), bo, tags)
+
+    # zero-expected strip: RowsPerStrip=0 with a huge deflate payload must
+    # not inflate unbounded — _decode_page skips it and then fails the
+    # length check instead of allocating the bomb
+    bomb = _z.compress(b"\0" * (64 << 20))  # 64 MB of zeros -> ~64 KB
+    pages = T._parse_ifds(bytes(base))
+    bo, tags = pages[0]
+    tags = dict(tags)
+    tags[278] = (0,)  # RowsPerStrip = 0
+    data = bytes(base) + bomb
+    tags[273] = (len(base),)  # StripOffsets -> the bomb
+    tags[279] = (len(bomb),)
+    with pytest.raises(ValueError):
+        T._decode_page(data, bo, tags)

@@ -283,3 +283,21 @@ def test_malformed_zarray_metadata_raises_valueerror(tmp_path):
         json.dump(m, open(p + "/.zarray", "w"))
         with pytest.raises(ValueError):
             ZarrArray.open(p)
+
+
+def test_zarray_geometry_type_confusion_rejected(tmp_path):
+    """Review-derived: shape/chunks must be JSON integer arrays — a digit
+    string would coerce element-wise ('88' -> (8, 8)) and floats silently
+    truncate, fabricating geometry."""
+    import json
+
+    p = str(tmp_path / "t")
+    ZarrArray.create(p, (8, 8), (4, 4), np.uint16)
+    good = json.load(open(p + "/.zarray"))
+    for field, val in (("shape", "88"), ("shape", [8.9, 8]),
+                       ("chunks", "44"), ("chunks", [4.0, 4])):
+        m = dict(good)
+        m[field] = val
+        json.dump(m, open(p + "/.zarray", "w"))
+        with pytest.raises(ValueError):
+            ZarrArray.open(p)
