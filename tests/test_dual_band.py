@@ -146,3 +146,54 @@ def test_dual_band_fused_blend_wiring(monkeypatch):
     mse = float(np.mean((got - dense) ** 2))
     psnr = 10.0 * np.log10(65535.0 ** 2 / max(mse, 1e-12))
     assert psnr >= 60.0, f"fused-blend dual PSNR {psnr:.1f} dB < 60"
+
+
+def test_dual_band_matches_independent_float64_oracle():
+    """Independent end-to-end oracle for config 2: compose the dual output
+    in float64 numpy from the golden single-band filter
+    (G.log_space_fft_filtering_ref per config), the golden per-plane Otsu
+    center on the raw plane, a scipy uniform_filter(17, mode='nearest')
+    box smooth (verified == ops.dual_band._smooth to f32 eps), and the
+    sigmoid band mix. Until now dual was gated only against its own parts
+    (dual == two singles, Pallas blend == XLA blend) — this pins the blend
+    SEMANTICS (center choice, sigmoid orientation, smoothing) externally."""
+    from scipy import ndimage
+
+    import jax.numpy as jnp
+
+    from tests.golden import numpy_ref as G
+    from aind_smartspim_destripe_tpu.ops.dual_band import (
+        _dual_plan, dual_band_destripe_batch,
+    )
+
+    h, w = 96, 128
+    imgs = np.stack([synthetic_plane(h, w, seed=s) for s in (3, 4)])
+    sig_fore, sig_back, thr, crossover = 256.0, 64.0, 12.0, 100.0
+
+    want = []
+    for img in imgs.astype(np.float64):
+        fore = G.log_space_fft_filtering_ref(
+            img, wavelet_name="db3", level=None, sigma=sig_fore,
+            max_threshold=thr,
+        )[:h, :w]
+        back = G.log_space_fft_filtering_ref(
+            img, wavelet_name="db3", level=None, sigma=sig_back,
+            max_threshold=thr,
+        )[:h, :w]
+        center = G.threshold_otsu_ref(img.astype(np.float32))
+        frac = 1.0 / (1.0 + np.exp(-(img - center) / crossover))
+        frac = ndimage.uniform_filter(frac, size=17, mode="nearest")
+        want.append(fore * frac + back * (1.0 - frac))
+    want = np.stack(want)
+
+    plan = _dual_plan(h, w, "db3", None, sig_fore, sig_back, thr)
+    got = np.asarray(dual_band_destripe_batch(
+        plan, jnp.asarray(imgs.astype(np.float32)), crossover, -1.0,
+        consts=plan.constants(),
+    ))
+
+    u16g = np.clip(got, 0, 65535).astype(np.uint16)
+    u16w = np.clip(want, 0, 65535).astype(np.uint16)
+    mse = np.mean((u16g.astype(np.float64) - u16w.astype(np.float64)) ** 2)
+    p = 10 * np.log10(65535.0**2 / max(mse, 1e-12))
+    assert p > 80, f"dual-band PSNR vs float64 oracle too low: {p:.1f} dB"
