@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import zlib as _zlib
 from concurrent.futures import ThreadPoolExecutor
 from typing import Optional, Sequence, Tuple
@@ -53,6 +54,13 @@ class BloscCodec:
             "shuffle": self.shuffle,
             "blocksize": self.blocksize,
         }
+
+    @property
+    def can_encode(self) -> bool:
+        # decode handles every stock c-blosc cname; ENCODE is zstd-only
+        # (io/blosc.compress raises otherwise) — resume gates query this
+        # instead of re-deriving the rule from the config dict
+        return self.cname == "zstd"
 
     def encode(self, data: bytes, typesize: int) -> bytes:
         return _blosc.compress(
@@ -399,6 +407,13 @@ class ZarrArray:
         self.separator = meta.get("dimension_separator", ".")
         self.codec = codec_from_config(meta.get("compressor"))
         self.attrs = Attributes(path)
+        # Serializes CONCURRENT __setitem__ calls on this instance: writes
+        # to a chunk only partially covered by the selection read-modify-
+        # write the chunk file, and two overlapping writers (e.g. pipeline
+        # slab writes when the slab doesn't align to the z-chunk) would
+        # lose one writer's planes. Internal per-call parallelism (the
+        # module thread pool fan-out) is untouched.
+        self._write_lock = threading.Lock()
 
     # -- creation ----------------------------------------------------------
 
@@ -643,6 +658,10 @@ class ZarrArray:
         return out.squeeze(axis=int_axes) if int_axes else out
 
     def __setitem__(self, key, value):
+        with self._write_lock:
+            self._setitem_locked(key, value)
+
+    def _setitem_locked(self, key, value):
         bounds, int_axes = _normalize_selection(key, self.shape)
         sel_shape = tuple(hi - lo for lo, hi in bounds)
         value = np.asarray(value)

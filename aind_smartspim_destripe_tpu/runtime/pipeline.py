@@ -124,8 +124,6 @@ def make_device_step(plan: DestripePlan, microscope_high_int: float,
                 plan, images, crossover, dual_threshold, consts=consts
             )
             if with_flatfield:
-                from ..ops.flatfield import flatfield_correction
-
                 return flatfield_correction(blended, flat, dark)
             return wrap_cast(blended)
         # Epilogues fuse into the destripe kernel (on the Pallas band path
@@ -296,7 +294,10 @@ class _Journal:
                     state = json.load(f)
                 if state.get("meta") == meta:
                     self.done = set(map(tuple, state.get("slabs", [])))
-            except (json.JSONDecodeError, OSError):
+            except (json.JSONDecodeError, OSError, TypeError,
+                    AttributeError):
+                # corrupt/foreign journal (wrong JSON shape included) means
+                # recompute, never crash the resume path
                 pass
 
     def commit(self, slab: tuple):
@@ -356,6 +357,14 @@ class StreamingDestriper:
 
         in_shape = tuple(input_array.shape)
         if len(in_shape) == 5:
+            if in_shape[:2] != (1, 1):
+                # the streaming loop reads/writes [0, 0] only — accepting a
+                # multi-T/C tile would silently leave every other channel
+                # as fill-value zeros in the output store
+                raise ValueError(
+                    f"5-D input must be (1, 1, Z, Y, X); got {in_shape} — "
+                    "destripe each channel's tile separately"
+                )
             self._lead = (0, 0)
             self.zyx = in_shape[2:]
         elif len(in_shape) == 3:
@@ -374,6 +383,16 @@ class StreamingDestriper:
         if self.with_flat and darkfield is not None:
             dark = np.asarray(darkfield, np.float32)[:h, :w]
         else:
+            if darkfield is not None:
+                # reference parity: the dark is only ever subtracted inside
+                # the flat-field correction (filtering.py:338-380), so
+                # without a flat it cannot apply — but say so, the caller
+                # handed us one
+                self.logger.warning(
+                    "darkfield provided without a flatfield — dark "
+                    "subtraction only applies inside the flat-field "
+                    "correction; ignoring it (reference semantics)"
+                )
             dark = np.zeros((1, 1), np.float32)
         if self.with_flat:
             if flat.shape[-2:] != (h, w):
@@ -413,6 +432,18 @@ class StreamingDestriper:
             "high_int": microscope_high_int,
             "with_flat": self.with_flat,
         }
+        if self.with_flat:
+            # resume correctness: a run resumed after the channel flats
+            # were RE-ESTIMATED must not stitch slabs corrected with the
+            # old fields to slabs corrected with the new ones — the journal
+            # is keyed on the field CONTENT, not just the with_flat bool.
+            # Key appears only with flats so older flatless journals keep
+            # resuming.
+            import hashlib
+
+            sig = hashlib.sha1(flat.tobytes())
+            sig.update(dark.tobytes())
+            meta["flats_sha1"] = sig.hexdigest()
         if dual:
             # mode change invalidates the resume journal (exact-dict meta
             # compare): a dual-band slab is not interchangeable with a
@@ -526,6 +557,31 @@ class StreamingDestriper:
                 next_read += 1
 
         schedule_reads()
+        try:
+            self._run_slabs(stats, read_q, writes, schedule_reads,
+                            max_inflight_writes, H, W)
+        except BaseException:
+            # mid-tile failure: stop queued prefetch reads / writes from
+            # racing the store after the error has propagated (started
+            # writes still finish — they are atomic per chunk file)
+            self.io.shutdown(wait=True, cancel_futures=True)
+            raise
+        for wfut in writes:
+            stats.write_s += wfut.result()
+        # one pool per tile: leave nothing parked once the tile is done
+        # (destripe_channel builds hundreds of these)
+        self.io.shutdown(wait=True)
+        stats.wall_s = time.time() - t_start
+        self.logger.info(
+            f"pipeline done: {stats.planes} planes in {stats.wall_s:.2f}s "
+            f"({stats.gpix_per_s:.3f} GPix/s) read={stats.read_s:.1f}s "
+            f"compute={stats.compute_s:.1f}s write={stats.write_s:.1f}s "
+            f"skipped={stats.slabs_skipped}"
+        )
+        return stats
+
+    def _run_slabs(self, stats, read_q, writes, schedule_reads,
+                   max_inflight_writes, H, W):
         while read_q:
             (z0, z1), item = read_q.popleft()
             schedule_reads()
@@ -564,14 +620,3 @@ class StreamingDestriper:
             stats.planes += z1 - z0
             stats.pixels += (z1 - z0) * H * W
             self.logger.info(f"slab {z0}:{z1} destriped ({z1 - z0} planes)")
-
-        for wfut in writes:
-            stats.write_s += wfut.result()
-        stats.wall_s = time.time() - t_start
-        self.logger.info(
-            f"pipeline done: {stats.planes} planes in {stats.wall_s:.2f}s "
-            f"({stats.gpix_per_s:.3f} GPix/s) read={stats.read_s:.1f}s "
-            f"compute={stats.compute_s:.1f}s write={stats.write_s:.1f}s "
-            f"skipped={stats.slabs_skipped}"
-        )
-        return stats

@@ -71,7 +71,13 @@ def get_microscope_flats(
 
         metadata_json = {}
         for _step, value in tile_config.items():
-            if int(value.get("Laser")) != curr_wave:
+            laser = value.get("Laser")
+            if laser is None:
+                # same clean contract as the X/Y/Side fields below — a
+                # missing key in this untrusted file must not surface as a
+                # bare TypeError from int(None)
+                raise KeyError("Please, check the data in metadata.json")
+            if int(laser) != curr_wave:
                 continue
             x_folder = value.get("X")
             y_folder = value.get("Y")
@@ -402,15 +408,11 @@ def destripe_zarr(
         output_zarr = None
         if "0" in new_channel_group:
             existing = new_channel_group["0"]
-            comp_cfg = existing.meta.get("compressor") or {}
-            # resume writes re-encode chunks: the only decodable-but-NOT-
-            # encodable compressors here are blosc cnames other than zstd
-            # (e.g. lz4) — those must start clean instead of failing on the
-            # first chunk write; raw/zstd/zlib/gzip stores all re-encode
-            reencodable = not (
-                comp_cfg.get("id") == "blosc"
-                and comp_cfg.get("cname") != "zstd"
-            )
+            # resume writes re-encode chunks: a decodable-but-not-
+            # encodable store (e.g. foreign blosc-lz4) must start clean
+            # instead of failing on the first chunk write. The codec is
+            # the single source of truth for its encode capability.
+            reencodable = getattr(existing.codec, "can_encode", True)
             if (
                 tuple(existing.shape) == tuple(original_dataset_shape)
                 and tuple(existing.chunks) == tuple(out_chunks)
@@ -434,7 +436,6 @@ def destripe_zarr(
         # Shadow-correction inputs (reference zarr_destriper.py:1095-1130)
         darkfield = None
         tile_config = None
-        retrospective = flatfield is not None
         derivatives_path = Path(derivatives_path) if derivatives_path else None
         if derivatives_path is not None and os.path.exists(derivatives_path):
             darkfield_path = str(derivatives_path.joinpath("DarkMaster_cropped.tif"))

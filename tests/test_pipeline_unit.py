@@ -231,3 +231,99 @@ def test_pipeline_band_graph_interpret(tmp_path, monkeypatch):
     mse = np.mean((got.astype(np.float64) - want.astype(np.float64)) ** 2)
     psnr = np.inf if mse == 0 else 10 * np.log10(65535.0**2 / mse)
     assert psnr >= 60.0, f"pipeline band-vs-dense PSNR {psnr:.1f} dB < 60"
+
+
+def test_concurrent_unaligned_slab_writes_no_lost_planes(tmp_path):
+    """Review-derived: slab writes that don't align to the output z-chunk
+    share chunks; concurrent read-modify-writes used to race (one writer's
+    planes reverting to fill). The array-level write lock serializes
+    overlapping __setitem__ calls."""
+    import threading
+
+    from aind_smartspim_destripe_tpu.io.zarr import ZarrArray
+
+    Z, H, W = 16, 32, 32
+    vol = (np.arange(Z * H * W, dtype=np.uint16).reshape(Z, H, W) % 60001)
+    for trial in range(10):
+        p = str(tmp_path / f"r{trial}")
+        arr = ZarrArray.create(p, (Z, H, W), (Z, 16, 16), np.uint16)
+        barrier = threading.Barrier(2)
+
+        def writer(z0, z1):
+            barrier.wait()
+            arr[z0:z1] = vol[z0:z1]  # both halves share every z-chunk
+
+        ts = [threading.Thread(target=writer, args=a)
+              for a in ((0, 8), (8, 16))]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        np.testing.assert_array_equal(arr[:, :, :], vol)
+
+
+def test_journal_meta_pins_flat_content(tmp_path):
+    """Resuming after the channel flats were re-estimated must recompute:
+    the journal meta keys on the flat/dark CONTENT, not just with_flat."""
+    from aind_smartspim_destripe_tpu.io.zarr import ZarrArray
+    from aind_smartspim_destripe_tpu.ops.filter import (
+        FilterConfig, build_plan,
+    )
+    from aind_smartspim_destripe_tpu.runtime.pipeline import (
+        StreamingDestriper,
+    )
+
+    Z, H, W = 8, 32, 40
+    rng = np.random.default_rng(0)
+    vol = rng.integers(0, 3000, size=(Z, H, W)).astype(np.uint16)
+    plan = build_plan(
+        H, W,
+        FilterConfig(wavelet="db3", level=1, sigma=64, max_threshold=3),
+        FilterConfig(wavelet="db3", level=1, sigma=128, max_threshold=12),
+    )
+    out = ZarrArray.create(str(tmp_path / "o"), (Z, H, W), (8, 16, 16),
+                           np.uint16)
+    flat_a = np.full((H, W), 1.25, np.float32)
+    dark = np.zeros((H, W), np.float32)
+    import jax
+
+    kw = dict(slab=4, device_batch=2, devices=jax.devices()[:1])
+    s1 = StreamingDestriper(vol, out, plan, flatfield=flat_a,
+                            darkfield=dark, **kw).run()
+    assert s1.slabs_skipped == 0
+    # same flats -> full skip
+    s2 = StreamingDestriper(vol, out, plan, flatfield=flat_a,
+                            darkfield=dark, **kw).run()
+    assert s2.slabs_skipped == 2 and s2.planes == 0
+    # re-estimated flats -> journal invalid, full recompute
+    s3 = StreamingDestriper(vol, out, plan, flatfield=flat_a * 1.1,
+                            darkfield=dark, **kw).run()
+    assert s3.slabs_skipped == 0 and s3.planes == Z
+
+
+def test_multichannel_5d_input_rejected():
+    from aind_smartspim_destripe_tpu.ops.filter import (
+        FilterConfig, build_plan,
+    )
+    from aind_smartspim_destripe_tpu.runtime.pipeline import (
+        StreamingDestriper,
+    )
+
+    plan = build_plan(
+        32, 40,
+        FilterConfig(wavelet="db3", level=1, sigma=64, max_threshold=3),
+        FilterConfig(wavelet="db3", level=1, sigma=128, max_threshold=12),
+    )
+    vol = np.zeros((1, 3, 8, 32, 40), np.uint16)
+    with pytest.raises(ValueError, match="separately"):
+        StreamingDestriper(vol, np.zeros_like(vol), plan)
+
+
+def test_journal_tolerates_wrong_shape_json(tmp_path):
+    from aind_smartspim_destripe_tpu.runtime.pipeline import _Journal
+
+    p = str(tmp_path / "j.json")
+    for content in ("null", "[]", '{"meta": {"a": 1}, "slabs": 3}',
+                    '{"meta": {"a": 1}, "slabs": [1, 2]}'):
+        with open(p, "w") as f:
+            f.write(content)
+        j = _Journal(p, {"a": 1})  # must not raise
+        assert isinstance(j.done, set)
