@@ -63,6 +63,15 @@ def _smooth(img: jax.Array, radius: int = 8) -> jax.Array:
     return blur_axis(blur_axis(img, -1), -2)
 
 
+def check_crossover(crossover) -> None:
+    """crossover = 0 makes the sigmoid 0/0 = NaN at the center pixel and a
+    negative width silently swaps the bands; fail loudly at every surface
+    (configs dict, CLI, env, plane-batch AND row-sharded entries) that
+    funnels here."""
+    if not isinstance(crossover, jax.core.Tracer) and not crossover > 0:
+        raise ValueError(f"dual-band crossover must be > 0, got {crossover}")
+
+
 def dual_band_destripe_batch(
     plan,
     images: jax.Array,
@@ -79,11 +88,7 @@ def dual_band_destripe_batch(
     - ``threshold``: sigmoid center; < 0 means per-plane Otsu,
     - ``crossover``: sigmoid width (reference foreground_fraction semantics).
     """
-    if not isinstance(crossover, jax.core.Tracer) and not crossover > 0:
-        # crossover = 0 makes the sigmoid 0/0 = NaN at the center pixel and
-        # a negative width silently swaps the bands; fail loudly at every
-        # surface (configs dict, CLI, env) that funnels here
-        raise ValueError(f"dual-band crossover must be > 0, got {crossover}")
+    check_crossover(crossover)
     x = images.astype(jnp.float32)
     b = x.shape[0]
     both = destripe_batch(plan, images, -jnp.inf, consts, dual=True)

@@ -515,6 +515,11 @@ def _classifier_cut_f32(
     cut = _classifier_cut(center, crossover, threshold_mask)
     if cut is None:
         return None
+    if not cut > 0:
+        # uint32 bit patterns order f32 values only on the POSITIVE axis;
+        # a zero/negative breakpoint would make the bisection walk wrapped
+        # bit space (production cut is +383.2 — this guards future callers)
+        return None
     c16 = np.float16(cut)
     lo = np.float32(np.nextafter(c16, -np.inf, dtype=np.float16))
     hi = np.float32(c16)
@@ -572,9 +577,11 @@ def classify_planes(
     bg_cnt = jnp.sum((~cell_mask).astype(jnp.float32), axis=axes)
     fg_sum = jnp.sum(jnp.where(cell_mask, imgs, 0.0), axis=axes)
     bg_sum = jnp.sum(jnp.where(cell_mask, 0.0, imgs), axis=axes)
-    fg_mean = jnp.where(fg_cnt > 0, fg_sum / jnp.maximum(fg_cnt, 1.0), 0.0)
-    bg_mean = jnp.where(bg_cnt > 0, bg_sum / jnp.maximum(bg_cnt, 1.0), 0.0)
-    return (fg_mean > bg_mean) & (fg_mean > microscope_high_int)
+    # ONE decision rule: the banded-kernel path feeds its in-kernel partial
+    # sums through the same helper, so the tail must not be duplicated here
+    return classify_from_sums(
+        fg_cnt, bg_cnt, fg_sum, bg_sum, microscope_high_int
+    )
 
 
 def _row_median(x: jax.Array, pallas: bool = True) -> jax.Array:
@@ -895,7 +902,12 @@ def normalize_flat_dark(height: int, width: int, flat, dark):
     # fails here with a clear error instead of deep in the epilogue.
     hw = (height, width)
     flat = jnp.asarray(flat, jnp.float32)
-    dark = jnp.asarray(dark, jnp.float32)[..., :height, :width]
+    dark = jnp.asarray(dark, jnp.float32)
+    if dark.ndim >= 2:
+        # reference darkfield crop applies to 2-D fields; a scalar/1-D dark
+        # (dark=0.0, a per-column row) goes straight to the broadcast below
+        # instead of dying in a two-axis slice
+        dark = dark[..., :height, :width]
     if flat.ndim <= 2 and dark.ndim <= 2:
         try:
             flat = jnp.broadcast_to(flat, hw)

@@ -376,6 +376,14 @@ def destripe_y_sharded(
     float32 band pair (``[:B]`` = cells/foreground config, ``[B:]`` =
     no-cells/background); epilogues are disallowed — blend first
     (:func:`dual_band_destripe_y_sharded`)."""
+    if x.shape[-2:] != (plan.height, plan.width):
+        # _apply_planned silently zero-pads a short row axis up to its
+        # planned shard length, which would fold zeros into the bottom
+        # boundary coefficients instead of erroring like destripe_batch
+        raise ValueError(
+            f"plan geometry {(plan.height, plan.width)} != data "
+            f"{x.shape[-2:]}"
+        )
     if flat is not None and wrap:
         raise ValueError("flat-field and wrap epilogues are exclusive")
     if dual and (flat is not None or dark is not None or wrap):
@@ -390,7 +398,11 @@ def destripe_y_sharded(
     if halo_static is None:
         halo_arrays, halo_static = halo_constants(plan, mesh.shape[axis])
     flat, dark = normalize_flat_dark(plan.height, plan.width, flat, dark)
-    P_ = jax.lax.Precision.HIGH
+    # follow wavelets._PRECISION (default HIGH) so a set_matmul_precision
+    # override applies to EVERY matmul in this kernel, not just the sharded
+    # y-passes/_apply_shards and blocked x-passes that already honor it —
+    # a half-applied override would break the halo-vs-dense parity gates
+    P_ = W._PRECISION
 
     xf = x.astype(jnp.float32)
     xlog = jnp.log(1.0 + xf)
@@ -557,14 +569,14 @@ def dual_band_destripe_y_sharded(
     Pallas blend kernel is whole-plane-in-VMEM and never selected here).
     The flat-field / wrap epilogue applies to the blended plane, matching
     the plane-sharded dual step (runtime/pipeline.py)."""
-    if not isinstance(crossover, jax.core.Tracer) and not crossover > 0:
-        raise ValueError(f"dual-band crossover must be > 0, got {crossover}")
+    from ..ops.dual_band import blend_bands_xla, check_crossover
+
+    check_crossover(crossover)
     if flat is not None and wrap:
         raise ValueError("flat-field and wrap epilogues are exclusive")
     # paired-or-absent + extent normalization up front — a dark passed
     # without flat must raise here, not be silently dropped
     flat, dark = normalize_flat_dark(plan.height, plan.width, flat, dark)
-    from ..ops.dual_band import blend_bands_xla
 
     b = x.shape[0]
     xf = x.astype(jnp.float32)
@@ -574,10 +586,16 @@ def dual_band_destripe_y_sharded(
     )
     fore, back = both[:b], both[b:]
 
-    otsu_centers = threshold_otsu_batch(xf, pallas=False)
-    centers = jnp.where(
-        threshold < 0, otsu_centers, jnp.full_like(otsu_centers, threshold)
-    )
+    if not isinstance(threshold, jax.core.Tracer) and threshold >= 0:
+        # fixed-threshold config: skip the full-plane Otsu pass entirely
+        # (a wasted min/max + 256-bin histogram over a beyond-HBM plane)
+        centers = jnp.full((b,), threshold, jnp.float32)
+    else:
+        otsu_centers = threshold_otsu_batch(xf, pallas=False)
+        centers = jnp.where(
+            threshold < 0, otsu_centers,
+            jnp.full_like(otsu_centers, threshold),
+        )
     blended = blend_bands_xla(
         xf, fore, back, centers, crossover, smooth_radius
     )

@@ -312,3 +312,19 @@ def test_destripe_geometry_wavelet_fuzz():
             f"case {case}: {h}x{w} {wavelet} level={level} "
             f"sigma={sigma} thr={max_threshold}: PSNR {p:.1f} dB"
         )
+
+
+def test_normalize_flat_dark_scalar_and_row_dark():
+    """Review-derived: a scalar or 1-D dark broadcasts instead of dying in
+    the 2-axis reference crop (the paired-check error message itself
+    suggests passing a trivial dark)."""
+    import jax.numpy as jnp
+
+    from aind_smartspim_destripe_tpu.ops.filter import normalize_flat_dark
+
+    flat = jnp.ones((6, 8), jnp.float32)
+    for dark in (0.0, jnp.zeros((8,), jnp.float32),
+                 jnp.zeros((1, 1), jnp.float32)):
+        f, d = normalize_flat_dark(6, 8, flat, dark)
+        assert f.shape == (6, 8) and d.shape == (6, 8)
+        assert float(jnp.max(jnp.abs(d))) == 0.0

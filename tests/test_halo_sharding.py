@@ -517,3 +517,16 @@ def test_dual_band_y_sharded_banded_x_combo():
         assert psnr >= 90.0, psnr
     finally:
         os.environ.pop("DESTRIPE_NO_PALLAS", None)
+
+
+def test_destripe_y_sharded_rejects_wrong_geometry():
+    """Review-derived: a row/column count that doesn't match the plan must
+    raise like destripe_batch — _apply_planned would otherwise silently
+    zero-pad short rows into the bottom boundary coefficients."""
+    mesh = _mesh()
+    from aind_smartspim_destripe_tpu.parallel.halo import destripe_y_sharded
+
+    plan = _plan(320, 256)
+    bad = jnp.zeros((1, 318, 256), jnp.uint16)
+    with pytest.raises(ValueError, match="geometry"):
+        destripe_y_sharded(bad, mesh, plan)
