@@ -16,6 +16,7 @@ from __future__ import annotations
 import logging
 import os
 import shutil
+import threading
 import time
 from collections import defaultdict
 from concurrent.futures import ThreadPoolExecutor
@@ -27,7 +28,12 @@ import numpy as np
 from .filtering import filter_stripes
 from .io.readers import SUPPORTED_READING_EXTENSIONS, imread
 from .io.writers import imsave
-from .ops.filter import FilterConfig, build_plan, destripe_batch
+from .ops.filter import (
+    FilterConfig,
+    build_plan,
+    destripe_batch,
+    device_constants,
+)
 from .ops.flatfield import flatfield_correction, get_hemisphere_flatfield
 
 LOG_FMT = "%(asctime)s %(message)s"
@@ -81,7 +87,7 @@ def read_filter_save(
         dual_band=dual_band,
     )
 
-    for _ in range(10):
+    for attempt in range(10):
         try:
             imsave(
                 output_path,
@@ -90,21 +96,35 @@ def read_filter_save(
                 output_format=output_format,
             )
         except OSError:
+            if attempt == 9:
+                # exhausting the retries silently would report a clean run
+                # with a missing output file — record it where the caller
+                # is told to look (destripe_log.txt)
+                logger.error(f"FAILED writing image in {output_path}")
+                _log_failed_read(output_dir, f"WRITE-FAILED {output_path}")
+                return
             logger.error(f"Retrying writing image in {output_path}...")
+            time.sleep(0.05)
             continue
         break
 
 
+_log_lock = threading.Lock()
+
+
 def _log_failed_read(output_dir, input_path):
     file_name = os.path.join(output_dir, "destripe_log.txt")
-    if not os.path.exists(file_name):
-        with open(file_name, "w") as f:
-            f.write(
-                "Error reading the following images.  "
-                "We will interpolate their content."
-            )
-    with open(file_name, "a+") as f:
-        f.write(f"\n{input_path}")
+    with _log_lock:
+        # concurrent io-pool failures must not race the header check into a
+        # truncating re-open that erases an already-logged path
+        if not os.path.exists(file_name):
+            with open(file_name, "w") as f:
+                f.write(
+                    "Error reading the following images.  "
+                    "We will interpolate their content."
+                )
+        with open(file_name, "a+") as f:
+            f.write(f"\n{input_path}")
 
 
 def _read_filter_save(input_dict: dict):
@@ -205,6 +225,8 @@ def batch_filter(
     from collections import deque
 
     plans = {}
+
+    consts_cache = {}
     write_futures = deque()
 
     def process_batch(shape, items):
@@ -227,26 +249,45 @@ def batch_filter(
                 plan = plans[shape] = build_plan(
                     shape[0], shape[1], cells_cfg, no_cells_cfg
                 )
-            filtered = np.asarray(destripe_batch(plan, imgs, 2700.0))
+            # operator matrices as device ARGUMENTS (filter.py guidance):
+            # baking multi-MB literals into the graph stalls XLA, and
+            # rebuilding them per batch re-stages host->device every group
+            consts = consts_cache.get(shape)
+            if consts is None:
+                consts = consts_cache[shape] = device_constants(plan)
+            filtered = np.asarray(destripe_batch(plan, imgs, 2700.0, consts))
 
         for (p, img), plane in zip(items, filtered):
             out_img = plane
             if shadow_correction is not None:
                 flat = shadow_correction.get("flatfield")
                 dark = shadow_correction.get("darkfield")
-                if not shadow_correction.get("retrospective"):
+                if flat is not None and not shadow_correction.get(
+                    "retrospective"
+                ):
                     flat = get_hemisphere_flatfield(
                         input_tile_path=p,
                         tile_config=shadow_correction.get("tile_config"),
                         flatfields=flat,
                         zarr=False,
                     )
-                out_img = np.asarray(flatfield_correction(out_img, flat, dark))
+                if flat is not None:
+                    out_img = np.asarray(
+                        flatfield_correction(out_img, flat, dark)
+                    )
+                else:
+                    # same semantics as runtime/pipeline.py: the dark only
+                    # applies inside the flat-field correction — warn
+                    # instead of crashing mid-run on jnp.asarray(None)
+                    logger.warning(
+                        "shadow_correction without a flatfield — skipping "
+                        "the correction (dark alone cannot apply)"
+                    )
             dtype_out = output_dtype if isinstance(output_dtype, type) else img.dtype
             o = output_path.joinpath(Path(p).relative_to(input_path))
 
             def write(o=o, out_img=out_img, dtype_out=dtype_out):
-                for _ in range(10):
+                for attempt in range(10):
                     try:
                         imsave(
                             o, out_img.astype(dtype_out),
@@ -254,7 +295,14 @@ def batch_filter(
                             output_format=output_format,
                         )
                     except OSError:
+                        if attempt == 9:
+                            logger.error(f"FAILED writing image in {o}")
+                            _log_failed_read(
+                                output_path, f"WRITE-FAILED {o}"
+                            )
+                            return
                         logger.error(f"Retrying writing image in {o}...")
+                        time.sleep(0.05)
                         continue
                     break
 
@@ -285,6 +333,7 @@ def batch_filter(
             read_filter_save(
                 output_path, p, o, high_int_filt_params, low_int_filt_params,
                 shadow_correction, compression, output_format, output_dtype,
+                dual_band=dual_band,
             )
             continue
         key = (img.shape, img.dtype)

@@ -11,6 +11,7 @@ with the same arguments.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -159,10 +160,18 @@ def filter_stripes(
         tile_config = shadow_correction.get("tile_config")
 
         if not retrospective:
+            # The reference calls this with the zarr=True default even for
+            # filesystem plane paths (filtering.py:478-482), where the
+            # X_Y tile name lives in the PARENT directory and the default
+            # parse reads garbage folders — a latent reference bug its
+            # zarr pipeline never hits. Infer the shape instead: a bare
+            # tile name has no separator, a plane file path does.
+            p = str(input_tile_path)
             flatfield = get_hemisphere_flatfield(
                 input_tile_path=input_tile_path,
                 tile_config=tile_config,
                 flatfields=flatfield,
+                zarr=("/" not in p and os.sep not in p),
             )
 
         filtered_image = flatfield_correction(

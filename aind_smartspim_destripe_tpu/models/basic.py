@@ -275,6 +275,16 @@ class BaSiC:
             self.flatfield[None], 1e-6
         )
         if timelapse:
+            if self.sort_intensity:
+                # the fit ran on the per-pixel-SORTED stack, so baseline[i]
+                # belongs to rank i, not to images[i] (the docstring's
+                # "destroys the (b_i, I_i(x)) pairing") — subtracting it
+                # here would silently misalign every frame
+                raise ValueError(
+                    "timelapse transform is incompatible with "
+                    "sort_intensity=True: the per-image baselines were fit "
+                    "on the sorted stack and no longer pair with the inputs"
+                )
             if images.shape[0] != self.baseline.shape[0]:
                 raise ValueError(
                     f"timelapse transform needs one baseline per image: "

@@ -171,8 +171,11 @@ def test_basic_cross_implementation_parity():
 
 
 def test_transform_timelapse_subtracts_baseline():
+    # sort_intensity=False: timelapse baselines must PAIR with the input
+    # frames, which a sorted fit cannot guarantee (that combination now
+    # raises — see test_timelapse_rejected_after_sorted_fit)
     imgs, *_ = synthetic_stack(n=8, h=32, w=32, seed=5)
-    model = BaSiC(sort_intensity=True, max_reweight_iterations=2, working_size=32)
+    model = BaSiC(sort_intensity=False, max_reweight_iterations=2, working_size=32)
     model.fit(imgs)
     plain = model.transform(imgs)
     tl = model.transform(imgs, timelapse=True)
@@ -231,3 +234,15 @@ def test_matches_basicpy_golden_fixture():
         b_got, b_want = model.baseline, fx[f"baseline_{tag}"]
         r = np.corrcoef(b_got, b_want)[0, 1]
         assert r > 0.99, (tag, r)
+
+
+def test_timelapse_rejected_after_sorted_fit():
+    """Review-derived: sort_intensity fits baselines on the SORTED stack;
+    pairing with the input frames is destroyed, so the timelapse transform
+    must refuse instead of silently misaligning."""
+    rng = np.random.default_rng(0)
+    imgs = (400 + rng.random((6, 24, 24)) * 100).astype(np.float32)
+    m = BaSiC(sort_intensity=True, max_reweight_iterations=3)
+    m.fit(imgs)
+    with pytest.raises(ValueError, match="sort_intensity"):
+        m.transform(imgs, timelapse=True)

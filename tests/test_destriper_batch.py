@@ -235,3 +235,56 @@ def test_processing_json_validates_against_vendored_schema(tmp_path):
     bad["processing_pipeline"]["data_processes"][0]["name"] = "Renamed"
     with pytest.raises(jsonschema.ValidationError):
         jsonschema.validate(bad, schema)
+
+
+def test_hemisphere_lookup_infers_path_shape(tmp_path):
+    """Review-derived: the facade's non-retrospective hemisphere lookup must
+    parse a filesystem plane path by its PARENT tile directory (the
+    reference calls the zarr=True default there, a latent bug its zarr
+    pipeline never hits; our batch path always passes real file paths)."""
+    from aind_smartspim_destripe_tpu.filtering import filter_stripes
+
+    img = np.full((32, 40), 300, np.float32)
+    flats = [np.full((32, 40), 1.0, np.float32),
+             np.full((32, 40), 2.0, np.float32)]
+    sc = {
+        "retrospective": False,
+        "flatfield": flats,
+        "darkfield": np.zeros((32, 40), np.float32),
+        "tile_config": {"471320": {"461360": 1}},
+    }
+    cfg = {"wavelet": "db3", "level": 1, "sigma": 128, "max_threshold": 12}
+    out = filter_stripes(
+        image=img,
+        input_tile_path="/data/Ex_488_Em_525/471320/471320_461360/0001.tiff",
+        no_cells_config=cfg, cells_config=cfg, shadow_correction=sc,
+    )
+    assert out.shape == img.shape  # flats[1] (==2.0) selected, no KeyError
+    # bare tile name still takes the zarr-name parse
+    out2 = filter_stripes(
+        image=img, input_tile_path="471320_461360",
+        no_cells_config=cfg, cells_config=cfg, shadow_correction=sc,
+    )
+    assert out2.shape == img.shape
+
+
+def test_batch_shadow_correction_without_flat_warns_not_crashes(tmp_path):
+    from aind_smartspim_destripe_tpu.destriper import batch_filter
+    from aind_smartspim_destripe_tpu.io.writers import imsave
+    from aind_smartspim_destripe_tpu.io.readers import imread
+
+    inp, outp = tmp_path / "in", tmp_path / "out"
+    inp.mkdir(); outp.mkdir()
+    img = np.full((32, 40), 400, np.uint16)
+    imsave(str(inp / "plane_0.tiff"), img)
+    batch_filter(
+        input_path=inp, output_path=outp, workers=1, chunks=1,
+        high_int_filt_params={"wavelet": "db3", "level": 1, "sigma": 64,
+                              "max_threshold": 3},
+        low_int_filt_params={"wavelet": "db3", "level": 1, "sigma": 128,
+                             "max_threshold": 12},
+        shadow_correction={"retrospective": True,
+                           "darkfield": np.zeros((32, 40), np.float32)},
+    )
+    out = imread(str(outp / "plane_0.tiff"))
+    assert out is not None and out.shape == img.shape  # uncorrected, no crash
