@@ -10,7 +10,7 @@ each host (ICI). These helpers wire that up:
   single process),
 - ``assign_tiles``: deterministic per-process tile ownership,
 - ``host_local_mesh``: the mesh over this process's addressable devices,
-- ``global_stats``: min/max/mean across all hosts via a tiny replicated
+- ``global_stats``: SUM a small stats vector across all hosts via a tiny replicated
   psum (the only cross-host collective the workload needs).
 """
 

@@ -188,6 +188,7 @@ def sharded_normalize_image(mesh: Mesh, images: jax.Array, axis: str = "z"):
     """normalize_image (reference filtering.py:227-250) over a sharded stack:
     global min/max via ICI collectives, then the local [1,2] float16 map."""
     x = shard_planes(mesh, images, axis)
-    lo, hi = global_minmax(mesh, x.astype(jnp.float32), axis)
-    ratio = (x.astype(jnp.float32) - lo) / (hi - lo)
+    xf = x.astype(jnp.float32)  # one cast: two would allocate the f32 stack twice
+    lo, hi = global_minmax(mesh, xf, axis)
+    ratio = (xf - lo) / (hi - lo)
     return 1 + ratio.astype(jnp.float16)

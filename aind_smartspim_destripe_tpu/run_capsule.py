@@ -98,6 +98,9 @@ def run(
 
     data_folder = Path(os.path.abspath(data_folder))
     results_folder = Path(os.path.abspath(results_folder))
+    # accepted-for-parity and unused, like the reference (run_capsule.py:313
+    # computes the same path and never reads it; the TPU pipeline streams
+    # through memory instead of a scratch tree)
     Path(os.path.abspath(scratch_folder))
 
     missing_files = validate_capsule_inputs([f"{data_folder}/acquisition.json"])

@@ -218,19 +218,35 @@ def print_system_information(logger: logging.Logger):
 def read_image_directory_structure(folder_dir, channel_regex: str) -> dict:
     """{channel: {col: {col_row: [images]}}} map of a SmartSPIM file tree
     (reference utils.py:321-380)."""
+    def _natkey(name):
+        # the reference natsorts every listing (natsort pinned in its
+        # Dockerfile); plain sorted() orders non-zero-padded plane names
+        # differently ("10.tiff" < "9.tiff") and would shift slide picks
+        return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", str(name))]
+
     folder_dir = Path(folder_dir)
     channel_paths = sorted(
-        p
-        for p in folder_dir.iterdir()
-        if p.is_dir() and re.search(channel_regex, str(p.name))
+        (
+            p
+            for p in folder_dir.iterdir()
+            if p.is_dir() and re.search(channel_regex, str(p.name))
+        ),
+        key=lambda p: _natkey(p.name),
     )
     if not channel_paths:
         raise ValueError(f"No channels found in path: {folder_dir}")
 
-    cols = sorted(p.name for p in channel_paths[0].iterdir() if p.is_dir())
+    cols = sorted(
+        (p.name for p in channel_paths[0].iterdir() if p.is_dir()),
+        key=_natkey,
+    )
     example_col = channel_paths[0] / cols[0]
-    rows = sorted(p.name for p in example_col.iterdir() if p.is_dir())
-    images = sorted(p.name for p in (example_col / rows[0]).iterdir())
+    rows = sorted(
+        (p.name for p in example_col.iterdir() if p.is_dir()), key=_natkey
+    )
+    images = sorted(
+        (p.name for p in (example_col / rows[0]).iterdir()), key=_natkey
+    )
 
     structure: dict = {}
     for channel in channel_paths:
