@@ -243,90 +243,7 @@ class DestripePlan:
                     self.ladder, self.notch_matrices()
                 )
             )
-        # Only built (and device_put / mesh-replicated by callers) when the
-        # packed tail is enabled; destripe_batch degrades gracefully to the
-        # per-level chain when the key is absent.
-        n_pack = _deep_pack_levels(self) if _DEEP_PACK else 0
-        if n_pack:
-            out["deep"] = _deep_pack_constants(self, n_pack)
         return out
-
-
-def _deep_pack_levels(plan: "DestripePlan") -> int:
-    """Number of coarse levels carried by the packed deep tail
-    (:func:`_filter_deep_tail`): the coarsest-first prefix of the ladder
-    whose bands fall below the Pallas pay-off gate and therefore run as
-    dense XLA ops. Packing needs at least two such levels to pay for its
-    plumbing; below that it returns 0 and the per-level path is used."""
-    n = 0
-    for lh, lw in plan.ladder:
-        if lh * lw >= _PALLAS_MIN_PX:
-            break
-        n += 1
-    return n if n >= 2 else 0
-
-
-def _deep_pack_constants(plan: "DestripePlan", n_pack: int) -> dict:
-    """Static operands of the packed deep tail (numpy; ride the constants
-    pytree so they stay out of the compiled graph).
-
-    Layout: the packed levels' cH bands are lane-padded to the widest packed
-    level and concatenated along ROWS (coarsest first) — every per-row op
-    (stripe mask, median, inpaint) then runs once over the (B, sum_h, w0)
-    stack, and per-(plane, level) scalars map to rows through the exact
-    0/1 ``onehot`` matmul. Keys:
-
-    - onehot (L, R) f32: row -> level indicator for the histogram segment
-      sum (exact: 0/1 operands and integer counts <= 256 are bf16-exact,
-      and the MXU accumulates in f32)
-    - lvl_idx (R,) int32: row -> level index (per-level scalars broadcast
-      to rows by GATHER, not matmul — a Precision.DEFAULT einsum would
-      truncate the f32 scalars to bf16 on TPU)
-    - lane_valid (R, w0) bool: lane < width(level(row))
-    - med_lo / med_hi (R,) int32: per-row order statistics of the row
-      median ((w-1)//2 and w//2 of the level's width; equal for odd widths,
-      and (x + x) * 0.5 == x exactly in f32)
-    - bmat: per-level (w0, 2*w) notch operators ([cells | no_cells], rows
-      zero-padded to w0 so the padded lanes contribute exact zeros)
-    - pad255 (L, 256) f32: per-level histogram correction — padded lanes
-      carry +inf, which bins deterministically into bin 255, so the exact
-      per-level padded-lane count h*(w0-w) is subtracted there (keeps the
-      hot one-hot reduce mask-free; counts stay exact integers < 2^24)
-    """
-    ladder = plan.ladder[:n_pack]
-    w0 = ladder[-1][1]
-    R = sum(h for h, _ in ladder)
-    onehot = np.zeros((n_pack, R), np.float32)
-    lvl_idx = np.zeros((R,), np.int32)
-    lane_valid = np.zeros((R, w0), bool)
-    med_lo = np.zeros((R,), np.int32)
-    med_hi = np.zeros((R,), np.int32)
-    mats = plan.notch_matrices()
-    bmats = []
-    pad255 = np.zeros((n_pack, 256), np.float32)
-    r0 = 0
-    for lvl, (h, w) in enumerate(ladder):
-        onehot[lvl, r0 : r0 + h] = 1.0
-        lvl_idx[r0 : r0 + h] = lvl
-        lane_valid[r0 : r0 + h, :w] = True
-        med_lo[r0 : r0 + h] = (w - 1) // 2
-        med_hi[r0 : r0 + h] = w // 2
-        pad255[lvl, 255] = h * (w0 - w)
-        bc, bn = mats[lvl]
-        bm = np.zeros((w0, 2 * w), np.float32)
-        bm[:w, :w] = bc.T
-        bm[:w, w:] = bn.T
-        bmats.append(bm)
-        r0 += h
-    return {
-        "onehot": onehot,
-        "lvl_idx": lvl_idx,
-        "lane_valid": lane_valid,
-        "med_lo": med_lo,
-        "med_hi": med_hi,
-        "bmat": tuple(bmats),
-        "pad255": pad255,
-    }
 
 
 def _band_level_geometry(
@@ -461,14 +378,6 @@ def build_plan(
 # route through the (bit-identical) XLA formulation instead. Trace-tuned at
 # production geometry (the five coarsest of 8 levels fall under it).
 _PALLAS_MIN_PX = int(os.environ.get("DESTRIPE_PALLAS_MIN_PX", str(32 * 1024)))
-
-# Packed deep tail (batched coarse-level filter path): OPT-IN until the
-# mask-free rewrite is re-measured on chip — v1 (4-D masked one-hot)
-# measured 10528 -> 10119 MPix/s (ROADMAP "packed deep tail"). The
-# per-level chain is the reference formulation either way; parity of the
-# packed path is gated by tests/test_deep_pack.py regardless of default.
-_DEEP_PACK = os.environ.get("DESTRIPE_DEEP_PACK", "") == "1"
-
 
 @lru_cache(maxsize=8)
 def _classifier_cut(
@@ -727,162 +636,6 @@ def _filter_level_delta(
     ) - ch
 
 
-def _deep_tail_otsu(ladder, x: jax.Array, deep: dict) -> jax.Array:
-    """Per-(plane, level) Otsu thresholds (sqrt of the ch^2 threshold, the
-    filter's comparison scale) for the packed coarse-level stack ``x``
-    ((B, R, w0), lane-padded, coarsest first).
-
-    Matches :func:`.otsu.threshold_otsu_batch(square=True)` bin-for-bin on
-    each level's unpadded band (gated exactly by
-    ``tests/test_deep_pack.py::test_deep_otsu_matches_per_level``). Padded
-    lanes are poisoned to +inf ONCE so the hot one-hot histogram reduce
-    needs no 4-D mask (a masked (B,R,w0,256) ``where`` defeats XLA's
-    compare->reduce fusion and materializes the one-hot — measured
-    10528 -> 10119 MPix/s on chip): +inf bins deterministically into the
-    top bin via the float-side clip, and the exact padded count is
-    subtracted there (constants ``pad255``)."""
-    lane_valid = deep["lane_valid"]  # (R, w0) bool
-    onehot = deep["onehot"]  # (L, R) exact 0/1
-    sq = jnp.where(lane_valid, x * x, jnp.inf)
-    lo_row = jnp.min(sq, axis=-1)  # (B, R); +inf never wins a min
-    hi_row = jnp.max(jnp.where(lane_valid, sq, -jnp.inf), axis=-1)
-    los, his = [], []
-    r0 = 0
-    for h, _ in ladder:
-        los.append(jnp.min(lo_row[:, r0 : r0 + h], axis=1))
-        his.append(jnp.max(hi_row[:, r0 : r0 + h], axis=1))
-        r0 += h
-    lo = jnp.stack(los, axis=1)  # (B, L)
-    hi = jnp.stack(his, axis=1)
-    span = hi - lo
-    safe_span = jnp.where(span > 0, span, 1.0)
-    # level scalars -> rows by exact gather (NOT einsum: a matmul broadcast
-    # runs at Precision.DEFAULT = bf16 operand truncation on TPU, shifting
-    # bin edges off the per-level path's)
-    lvl_idx = deep["lvl_idx"]  # (R,) int32
-    lo_rowb = jnp.take(lo, lvl_idx, axis=1)  # (B, R)
-    span_rowb = jnp.take(safe_span, lvl_idx, axis=1)
-    # clip in FLOAT before the cast: valid lanes floor to integers in
-    # [0, 256] (clip = the closed right-most bin), padded lanes floor to
-    # +inf and clip to exactly 255.0 (an f32->int cast of inf would be
-    # implementation-defined)
-    idxf = jnp.clip(
-        jnp.floor((sq - lo_rowb[..., None]) / span_rowb[..., None] * 256.0),
-        0.0,
-        255.0,
-    )
-    idx8 = idxf.astype(jnp.uint8)
-    bins = jnp.arange(256, dtype=jnp.uint8)
-    row_counts = jnp.sum(
-        (idx8[..., None] == bins).astype(jnp.float32), axis=2
-    )  # (B, R, 256) — mask-free, fuses into one streamed reduce
-    counts = (
-        jnp.einsum(
-            "brc,lr->blc",
-            row_counts,
-            onehot,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        - deep["pad255"]
-    )  # exact int sums minus the exact padded-lane count; HIGHEST forces
-    # f32 operands on TPU — DEFAULT would bf16-truncate row counts > 256
-    # (exact-integer ceiling of bf16), breaking the bit-exact contract on
-    # wide sub-gate levels
-    steps = jnp.arange(257, dtype=jnp.float32) / 256.0
-    edges = lo[..., None] + span[..., None] * steps
-    centers = (edges[..., :-1] + edges[..., 1:]) / 2.0
-    w1 = jnp.cumsum(counts, axis=-1)
-    w2 = jnp.cumsum(counts[..., ::-1], axis=-1)[..., ::-1]
-    m1 = jnp.cumsum(counts * centers, axis=-1) / jnp.maximum(w1, 1e-30)
-    m2 = (
-        jnp.cumsum((counts * centers)[..., ::-1], axis=-1)
-        / jnp.maximum(w2[..., ::-1], 1e-30)
-    )[..., ::-1]
-    var12 = w1[..., :-1] * w2[..., 1:] * (m1[..., :-1] - m2[..., 1:]) ** 2
-    am = jnp.argmax(var12, axis=-1)
-    th = jnp.take_along_axis(centers, am[..., None], axis=-1)[..., 0]
-    th = jnp.where(hi > lo, th, lo)  # degenerate constant band
-    return jnp.sqrt(th)  # (B, L)
-
-
-def _filter_deep_tail(
-    plan: "DestripePlan",
-    chs: list,  # coarsest-first packed cH bands, (B, h_l, w_l) each
-    is_cells: jax.Array,  # (B,) bool, or (2B,) in dual mode
-    deep: dict,  # _deep_pack_constants operands (device pytree)
-    dual: bool = False,
-) -> list:
-    """Batched filter tail for the packed coarse levels (VERDICT r2 #8):
-    ONE op set — masked per-level Otsu, one row-median sort, one
-    mask/inpaint/delta element-wise chain — instead of a full per-level
-    chain each, collapsing the op-count-bound XLA tail (~7 us dispatch per
-    tiny op adds up to ~1 ms/step at production geometry).
-
-    Numerically equivalent to :func:`_filter_level` minus ``ch`` per level
-    (reference filtering.py:186-219): lane padding is exact — padded ch is
-    0, so masks/backgrounds are 0 and the zero-padded operator rows add
-    exact zeros; the sort pads with +inf so each row's order statistics
-    index the level's true width; per-level scalars broadcast to rows via
-    exact 0/1 matmuls. Only the contraction/cumsum regrouping differs
-    (ulp-level, covered by the golden PSNR gates and the pack-vs-per-level
-    identity test).
-
-    Returns per-level deltas ``filter(ch) - ch``, coarsest first, exact
-    shapes restored."""
-    P = jax.lax.Precision.HIGH
-    ladder = plan.ladder[: len(chs)]
-    w0 = ladder[-1][1]
-    lane_valid = deep["lane_valid"]  # (R, w0) bool
-    x = jnp.concatenate(
-        [jnp.pad(ch, ((0, 0), (0, 0), (0, w0 - ch.shape[-1]))) for ch in chs],
-        axis=1,
-    )  # (B, R, w0)
-    otsu_sqrt = _deep_tail_otsu(ladder, x, deep)  # (B, L)
-
-    if dual:
-        # one Otsu per input plane, shared by both bands, then doubled
-        otsu_sqrt = jnp.tile(otsu_sqrt, (2, 1))
-        x = jnp.concatenate([x, x], axis=0)
-    max_thr = jnp.where(
-        is_cells, plan.cells.max_threshold, plan.no_cells.max_threshold
-    )
-    threshold = jnp.minimum(max_thr[:, None], otsu_sqrt)  # (Bd, L)
-    thr_rowb = jnp.take(
-        threshold, deep["lvl_idx"], axis=1
-    )[..., None]  # exact gather
-
-    # --- mask -> row-median inpaint (one sort) -> per-level notch/delta ---
-    # sqrt(x*x), not |x|: the reference compares the rounded sqrt-of-square
-    stripes = jnp.sqrt(x * x) > thr_rowb
-    maskf = stripes.astype(x.dtype)
-    fg = x * maskf
-    bg = x * (1.0 - maskf)
-    s = jax.lax.sort(
-        jnp.where(lane_valid, bg, jnp.inf), dimension=2, is_stable=False
-    )
-    mlo = jnp.broadcast_to(deep["med_lo"][None, :, None], s.shape[:2] + (1,))
-    mhi = jnp.broadcast_to(deep["med_hi"][None, :, None], s.shape[:2] + (1,))
-    med = (
-        jnp.take_along_axis(s, mlo, axis=2)
-        + jnp.take_along_axis(s, mhi, axis=2)
-    ) * 0.5
-    inpainted = bg + med * maskf
-    deltas = []
-    r0 = 0
-    for lvl, (h, w) in enumerate(ladder):
-        both = jnp.matmul(
-            inpainted[:, r0 : r0 + h, :], deep["bmat"][lvl], precision=P
-        )  # (Bd, h, 2w)
-        filt = jnp.where(
-            is_cells[:, None, None], both[..., :w], both[..., w:]
-        )
-        m = maskf[:, r0 : r0 + h, :w]
-        out = fg[:, r0 : r0 + h, :w] + filt * (1.0 - m)
-        deltas.append(out - x[:, r0 : r0 + h, :w])
-        r0 += h
-    return deltas
-
-
 def normalize_flat_dark(height: int, width: int, flat, dark):
     """Validate and normalize a (flat, dark) pair to the plane extent:
     paired-or-absent check, reference darkfield crop (filtering.py:377),
@@ -1076,20 +829,14 @@ def destripe_batch(
     notch_sel = consts.get("notch_sel", (None,) * len(chs))
     n_chs = len(chs)
     chs_rev = list(reversed(chs))
-    # The packed deep tail batches every coarse level's filter chain into
-    # one op set (see _filter_deep_tail); the per-level loop below carries
-    # the remaining (large) levels.
-    start = 0
-    deep = consts.get("deep") if _DEEP_PACK else None
-    if deep is not None:
-        start = len(deep["bmat"])
-        deltas.extend(
-            _filter_deep_tail(plan, chs_rev[:start], is_cells, deep, dual)
-        )
+    # (A "packed deep tail" that batched every coarse level's filter chain
+    # into one op set was built and A/B-measured twice on chip — 4-D masked
+    # one-hot 10528 -> 10119 MPix/s, mask-free +inf-poisoned rewrite
+    # 10568 -> 10244 — a ~3% regression both times: the coarse levels'
+    # dense-XLA ops fuse well enough that packing only adds lane padding
+    # and gather/scatter. Recorded in ROADMAP.md; do not rebuild it.)
     for j, (ch, bm_cat, nsel) in enumerate(
-        zip(chs_rev[start:], consts["notch_cat"][start:],
-            notch_sel[start:]),
-        start=start,
+        zip(chs_rev, consts["notch_cat"], notch_sel)
     ):
         abs_r = ch_ranges.get(n_chs - 1 - j)
         otsu_sqrt = None

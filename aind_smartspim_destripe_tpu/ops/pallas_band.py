@@ -424,10 +424,23 @@ def syn_y_pass(
     """One synthesis pass along axis -2 of the correction pyramid:
     ``S_y[:, :L] @ corr + S_y[:, L:] @ delta`` (reference waverec2 row
     pass). ``corr=None`` skips the cA half (coarsest level: the correction
-    starts at zero). Returns (B, out_h, W) float32."""
+    starts at zero). Returns (B, out_h, W) float32.
+
+    ``col_tile`` is clamped so the double-buffered block working set
+    (n_in input tiles of L rows + one output tile of out_h rows, f32)
+    stays inside Mosaic's 16 MiB scoped-VMEM stack: at the production
+    1600x2000 geometry the 512 default sums to ~13 MiB, but a 2048x2048
+    plane (BASELINE config 1) reaches 16.06 MiB and the compiler rejects
+    the program — measured on chip 2026-08-19, the clamp halves it to 256
+    there (and only there; the sweep-tuned 512 is kept whenever it fits)."""
     B, L, W = delta.shape
     bh_h, bh_l = blocks_hi
     nt, w_win, r_out = bh_h.shape
+    n_in = 1 if corr is None else 2
+    # double-buffered f32 bytes per column of tile width
+    bytes_per_col = 2 * 4 * (L * n_in + out_h)
+    while col_tile > 128 and col_tile * bytes_per_col > int(15.6 * 2**20):
+        col_tile //= 2
     n_ct = _cdiv(W, col_tile)
     if w_win > L:
         raise ValueError("window wider than the coefficient axis — use the "

@@ -119,7 +119,6 @@ def main(argv):
         return
 
     from aind_smartspim_destripe_tpu.ops import pallas_band, pallas_notch
-    from aind_smartspim_destripe_tpu.ops import filter as flt
     from aind_smartspim_destripe_tpu.ops.filter import (
         FilterConfig,
         build_plan,
@@ -134,7 +133,6 @@ def main(argv):
         "k1rows": [256, 320, 512],
         "k4rows": [128, 160, 224],  # patches BOTH the bare (level>0) and
         # flat-epilogue (level 0) calls — big values overflow the flat one
-        "deeppack": [0, 1],  # packed deep tail off/on (filter._DEEP_PACK)
         "blend": [32, 48, 64, 96],  # dual-band blend kernel rows_tile
         # (128 overflows scoped VMEM; timed on the DUAL step, not config 1)
     }[knob]
@@ -153,13 +151,7 @@ def main(argv):
             FilterConfig(wavelet="db3", level=None, sigma=64, max_threshold=3),
             FilterConfig(wavelet="db3", level=None, sigma=128, max_threshold=12),
         )
-    # build constants with the pack operands INCLUDED regardless of the
-    # module default (constants() gates on _DEEP_PACK at build time; the
-    # deeppack knob flips usage at trace time and needs them present)
-    _saved = flt._DEEP_PACK
-    flt._DEEP_PACK = True
     consts = jax.device_put(plan.constants())
-    flt._DEEP_PACK = _saved
 
     rng = np.random.default_rng(0)
     level = np.where(np.arange(B) % 2 == 0, 300.0, 3200.0)[:, None, None]
@@ -178,7 +170,6 @@ def main(argv):
     orig_syny = pallas_band.syn_y_pass
     orig_anx = pallas_band.an_x_lowpass_log1p
     orig_synx = pallas_band.syn_x_exp
-    orig_deep = flt._DEEP_PACK
     orig_blend = pallas_blend.blend_smooth_mix
 
     def set_knob(v):
@@ -192,8 +183,6 @@ def main(argv):
             pallas_band.an_x_lowpass_log1p = partial(orig_anx, rows_tile=v)
         elif knob == "k4rows":
             pallas_band.syn_x_exp = partial(orig_synx, rows_tile=v)
-        elif knob == "deeppack":
-            flt._DEEP_PACK = bool(v)
         elif knob == "blend":
             # dual_band resolves the kernel through the module attr at
             # trace time, so patching the module is enough
@@ -250,7 +239,6 @@ def main(argv):
     pallas_band.syn_y_pass = orig_syny
     pallas_band.an_x_lowpass_log1p = orig_anx
     pallas_band.syn_x_exp = orig_synx
-    flt._DEEP_PACK = orig_deep
 
     ok = {v: ms for v, ms in results.items() if ms is not None}
     if ok:

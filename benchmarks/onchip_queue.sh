@@ -22,8 +22,8 @@ RC=0
   #    pipeline without pipefail reports tee's 0 and breaks the gate).
   if timeout 1500 python bench.py > "$RESULTS/bench_$STAMP.json"; then
     cat "$RESULTS/bench_$STAMP.json"
-    # 2. deep-pack A/B (mask-free rewrite vs off) -> decide _DEEP_PACK default
-    timeout 1800 python benchmarks/kernel_sweep.py deeppack
+    # (the deep-pack A/B ran 2026-08-19: OFF won both variants — the path
+    # was removed; negative result recorded in ROADMAP.md)
     # 3. blend rows_tile sweep (dual step)
     timeout 1800 python benchmarks/kernel_sweep.py blend
     # 4. BASELINE configs 1 (latency decomposition, VERDICT r3 #5) and 2
