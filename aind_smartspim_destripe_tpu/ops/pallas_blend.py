@@ -56,7 +56,9 @@ def blend_smooth_mix(
     back: jax.Array,  # (B, H, W) f32 background band
     centers: jax.Array,  # (B,) f32 sigmoid centers
     crossover: float,
-    rows_tile: int = 64,  # 128 measures 25 MB of scoped VMEM (limit 16)
+    rows_tile: int = 64,  # on-chip dual-step sweep 2026-08-19: 32 -> 54.74
+    # ms, 48 -> 54.38, 64 -> 54.16 (optimum), 96 -> 54.21; 128 overflows
+    # scoped VMEM (25 MB vs the 16 MB limit)
     interpret: bool = False,
 ) -> jax.Array:
     B, H, W = x.shape

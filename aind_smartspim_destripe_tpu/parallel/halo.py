@@ -30,9 +30,11 @@ Operator memory scaling (honest accounting): the sharded Y operators cost
 O(H²/D) total across the mesh (each device holds a (M/D, H/D + 2K) slice).
 The X axis is never sharded (each device's row shard runs its x-passes
 locally, whole-width), and its operators are width-gated: below
-``DESTRIPE_BANDED_X_MIN_W`` (default 8192) the levels use the dense
-(W/2, W) matmul operators and (w, 2w) notch matrices that the unsharded
-kernel uses — bit-identical numerics, MXU-optimal at production widths —
+``DESTRIPE_BANDED_X_MIN_W`` (default 32768 — a memory gate; the dense
+forms measured faster at every width that fits HBM, see
+:func:`banded_x_min_w_default`) the levels use the dense (W/2, W) matmul
+operators and (w, 2w) notch matrices that the unsharded kernel uses —
+bit-identical numerics, MXU-optimal at production widths —
 while levels at or above it never build those O(W²) matrices at all:
 analysis/synthesis run the blocked shift-invariant x-passes
 (ops/wavelets.an_lo_pass_last / syn_lo_pass_last, O(flen) operator bytes)
@@ -88,11 +90,22 @@ __all__ = [
 def banded_x_min_w_default() -> int:
     """Plane width (samples) at which the halo kernel's x-axis operators
     switch from the dense matmul forms to the O(1)-operator-memory banded/
-    spectral forms. 8192 is 4x the production width: the dense forms
-    measured ~45% faster end to end at 2000 (wavelets.py constants note),
-    while the banded tier's FLOP advantage grows linearly with width —
-    by 8192 it is ~60x, safely past any crossover."""
-    return int(os.environ.get("DESTRIPE_BANDED_X_MIN_W", str(8192)))
+    spectral forms.
+
+    The gate is a MEMORY gate, not a speed crossover: the on-chip sweep
+    (benchmarks/kernel_sweep.py bandedx, v5e 2026-08-19) measured the
+    dense forms FASTER at every width that fits — banded/dense wall ratio
+    1.25x at W=2048, 1.38x at 4096, 1.60x at 8192, 1.84x at 16384 — the
+    blocked shift-invariant x-passes and spectral notch never out-run the
+    MXU's dense matmuls; their O(W^2) FLOP "waste" is cheaper than the
+    banded tier's relayouts and rfft. (This falsified the round-3
+    assumption of a FLOP-driven crossover by 8192.) What DOES scale with
+    W^2 is operator bytes: at 16384 the dense level-0 x operators total
+    ~2 GB (measured to fit and win), at 32768 the analysis operator alone
+    is ~8.6 GB f32 and the notch pair ~17 GB — past any v5e HBM. The
+    default therefore sits at 32768: dense wherever it can exist, banded
+    only where it must."""
+    return int(os.environ.get("DESTRIPE_BANDED_X_MIN_W", str(32768)))
 
 
 class OpShards(NamedTuple):
