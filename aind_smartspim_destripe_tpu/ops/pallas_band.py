@@ -437,10 +437,28 @@ def syn_y_pass(
     bh_h, bh_l = blocks_hi
     nt, w_win, r_out = bh_h.shape
     n_in = 1 if corr is None else 2
-    # double-buffered f32 bytes per column of tile width
-    bytes_per_col = 2 * 4 * (L * n_in + out_h)
-    while col_tile > 128 and col_tile * bytes_per_col > int(15.6 * 2**20):
+    # Budget ALL scoped-VMEM residents, not just the streamed blocks: the
+    # operator tensors (hi+lo bf16 per input half) live in VMEM for the
+    # whole call, and each window contributes a (w_win, col_tile) bf16
+    # hi/lo split temporary pair.
+    op_bytes = 2 * n_in * int(bh_h.size) * 2  # (hi, lo) x (cH[, cA]) bf16
+    # double-buffered f32 bytes per column of tile width + split temps
+    bytes_per_col = 2 * 4 * (L * n_in + out_h) + 2 * 2 * w_win
+    budget = int(15.7 * 2**20)
+    while col_tile > 128 and op_bytes + col_tile * bytes_per_col > budget:
         col_tile //= 2
+    if op_bytes + col_tile * bytes_per_col > budget:
+        # 128 floor hit while still over budget: surface it instead of
+        # letting Mosaic's scoped-VMEM check fail with a bare compile error
+        import warnings
+
+        warnings.warn(
+            f"syn_y_pass: col_tile floored at 128 but the working set "
+            f"({(op_bytes + col_tile * bytes_per_col) / 2**20:.1f} MiB: "
+            f"operators {op_bytes / 2**20:.1f} + blocks) still exceeds the "
+            f"~{budget / 2**20:.1f} MiB scoped-VMEM budget; Mosaic may "
+            f"reject this geometry (L={L}, out_h={out_h}, n_in={n_in})"
+        )
     n_ct = _cdiv(W, col_tile)
     if w_win > L:
         raise ValueError("window wider than the coefficient axis — use the "

@@ -30,9 +30,10 @@ Operator memory scaling (honest accounting): the sharded Y operators cost
 O(H²/D) total across the mesh (each device holds a (M/D, H/D + 2K) slice).
 The X axis is never sharded (each device's row shard runs its x-passes
 locally, whole-width), and its operators are width-gated: below
-``DESTRIPE_BANDED_X_MIN_W`` (default 32768 — a memory gate; the dense
-forms measured faster at every width that fits HBM, see
-:func:`banded_x_min_w_default`) the levels use the dense (W/2, W) matmul
+``DESTRIPE_BANDED_X_MIN_W`` (default derived from a ~3 GiB operator-byte
+budget, ~20k — a memory gate; the dense forms measured faster at every
+width that fits HBM, see :func:`banded_x_min_w_default`) the levels use
+the dense (W/2, W) matmul
 operators and (w, 2w) notch matrices that the unsharded kernel uses —
 bit-identical numerics, MXU-optimal at production widths —
 while levels at or above it never build those O(W²) matrices at all:
@@ -100,12 +101,26 @@ def banded_x_min_w_default() -> int:
     MXU's dense matmuls; their O(W^2) FLOP "waste" is cheaper than the
     banded tier's relayouts and rfft. (This falsified the round-3
     assumption of a FLOP-driven crossover by 8192.) What DOES scale with
-    W^2 is operator bytes: at 16384 the dense level-0 x operators total
-    ~2 GB (measured to fit and win), at 32768 the analysis operator alone
-    is ~8.6 GB f32 and the notch pair ~17 GB — past any v5e HBM. The
-    default therefore sits at 32768: dense wherever it can exist, banded
-    only where it must."""
-    return int(os.environ.get("DESTRIPE_BANDED_X_MIN_W", str(32768)))
+    W^2 is operator bytes, so the default is DERIVED from an explicit
+    operator-byte budget instead of a hard-coded width: a level of input
+    width w carries ~6w^2 f32 bytes of dense x operators (an_x_lo
+    (w/2, w) = 2w^2, syn_x_lo (w, w/2) = 2w^2, notch_cat (w/2, w) = 2w^2)
+    and the coarser levels add a geometric ~4/3 tail, ~8w^2 total. The
+    default budget ``DESTRIPE_DENSE_X_BUDGET_BYTES`` = 3 GiB yields a gate
+    of ~20k: it admits the measured 16384 (~2.1 GB, dense 1.84x faster
+    than banded) and bounds the *unmeasured* band above it at an explicit
+    ~3 GB of HBM instead of letting widths up to 32768 build ~8.6 GB and
+    OOM a 16 GB v5e. ``DESTRIPE_BANDED_X_MIN_W`` still overrides the
+    derived gate directly."""
+    env = os.environ.get("DESTRIPE_BANDED_X_MIN_W")
+    if env is not None:
+        return int(env)
+    budget = int(
+        os.environ.get("DESTRIPE_DENSE_X_BUDGET_BYTES", str(3 * 2**30))
+    )
+    # largest width whose ~8w^2-byte dense x-operator set fits the budget;
+    # levels at or above gate = that width + 1 take the banded tier
+    return int(np.sqrt(budget / 8.0)) + 1
 
 
 class OpShards(NamedTuple):

@@ -31,11 +31,13 @@ def sweep_banded_x(widths, B=2, H=1600, iters=8):
     (parallel/halo.py) on a 1-device mesh: times the SAME full filter with
     the width gate above every level (dense (W/2, W) matmuls + (w, 2w)
     notch operators) and below every level (blocked lowpass passes + rfft
-    notch). Pins the DESTRIPE_BANDED_X_MIN_W default — dense measured ~45%
-    faster at production W=2000; the banded tier's FLOP ratio grows
-    linearly with width (~60x by 8192). Dense operator residency is
-    O(W^2)/level (~2.2 GB at W=16384), so widths much beyond 16k only run
-    on the banded tier at all."""
+    notch). Pinned the DESTRIPE_BANDED_X_MIN_W default — measured on chip
+    2026-08-19: dense WINS at every width that fits HBM (banded/dense wall
+    ratio 1.25x at W=2048, 1.38x at 4096, 1.60x at 8192, 1.84x at 16384),
+    falsifying the round-3 FLOP-crossover assumption. The gate is therefore
+    a MEMORY gate (see halo.banded_x_min_w_default): dense operator
+    residency is O(W^2)/level (~2.2 GB at W=16384), so widths much beyond
+    16k only run on the banded tier at all."""
     import jax
     import jax.numpy as jnp
 

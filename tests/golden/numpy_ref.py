@@ -200,7 +200,13 @@ def foreground_background_mean_ref(img: np.ndarray, threshold_mask: float = 0.3)
     """Mirror of filtering.py:get_foreground_background_mean (float16 sigmoid
     classifier, center=400, crossover=20)."""
     z = (img.astype(np.float16) - np.float16(400)) / np.float16(20)
-    f = 1 / (1 + np.exp(-z))
+    # float16 exp(-z) overflows to inf for z < ~-11 (pixels far below the
+    # 400-count center); the sigmoid then saturates to exactly 0.0 — the
+    # reference's own behavior (filtering.py:78 computes the same chain in
+    # float16). Silence the benign RuntimeWarning so measured artifacts
+    # (bench.py's driver-recorded tail) stay warning-free.
+    with np.errstate(over="ignore"):
+        f = 1 / (1 + np.exp(-z))
     cell_for = np.where(f > threshold_mask, 1.0, 0.0)
     fg = img[cell_for == 1]
     bg = img[cell_for == 0]
