@@ -14,7 +14,12 @@ import os
 import jax
 import jax.numpy as jnp
 
-__all__ = ["histogram_fixed_bins", "threshold_otsu", "threshold_otsu_batch"]
+__all__ = [
+    "histogram_fixed_bins",
+    "otsu_from_counts",
+    "threshold_otsu",
+    "threshold_otsu_batch",
+]
 
 
 def histogram_fixed_bins(x: jnp.ndarray, nbins: int = 256):
@@ -118,8 +123,19 @@ def threshold_otsu_batch(
     span = hi - lo
     safe_span = jnp.where(span > 0, span, 1.0)
     counts = histogram256_batch(xf, lo, safe_span, square=square)  # (B, 256)
+    return otsu_from_counts(counts, lo, hi, nbins)
 
-    steps = jnp.arange(nbins + 1, dtype=x.dtype) / nbins
+
+def otsu_from_counts(
+    counts: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray, nbins: int = 256
+) -> jnp.ndarray:
+    """Per-plane Otsu threshold from precomputed histograms: counts (B,
+    nbins) over equal bins spanning [lo, hi] per plane. The ONE decision
+    tail shared by :func:`threshold_otsu_batch` and the Y-halo sharded
+    Otsu (parallel/halo.py), which psums shard-local histograms and then
+    must apply the identical inter-class-variance argmax."""
+    steps = jnp.arange(nbins + 1, dtype=jnp.float32) / nbins
+    span = hi - lo
     edges = lo[:, None] + span[:, None] * steps[None, :]
     centers = (edges[:, :-1] + edges[:, 1:]) / 2.0
 

@@ -45,6 +45,7 @@ Replaces (reference filtering.py:176,221 — pywt wavedec2/waverec2 passes):
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -59,9 +60,11 @@ __all__ = [
     "available",
     "blocked_operator",
     "an_x_lowpass_log1p",
+    "an_x_lowpass_chunked",
     "an_y_pass",
     "syn_y_pass",
     "syn_x_exp",
+    "syn_x_exp_chunked",
 ]
 
 
@@ -661,3 +664,167 @@ def syn_x_exp(
         ),
         interpret=pallas_env.interpret_default(interpret),
     )(*ins)
+
+
+# ---------------------------------------------------------------------------
+# Width-adaptive chunked wrappers (Y-halo tier: planes up to 16k+ wide)
+# ---------------------------------------------------------------------------
+
+# Scoped-VMEM working-set target for one chunked x-kernel call. Mosaic's
+# stack is 16 MiB; leave headroom for the in-kernel bf16 split temporaries
+# and Mosaic's own spill slack.
+_X_VMEM_BUDGET = int(
+    os.environ.get("DESTRIPE_X_VMEM_BUDGET", str(int(11.5 * 2**20)))
+)
+
+
+def _plan_x_chunks(
+    nc: int,
+    w_win: int,
+    r_out: int,
+    starts: Tuple[int, ...],
+    in_item: int,
+    out_cols_item: int,
+    rows_cap: int,
+    budget: Optional[int] = None,
+):
+    """Split a blocked x operator of ``nc`` column blocks into chunks whose
+    per-call scoped-VMEM working set fits ``budget``: the (hi, lo) bf16
+    operator chunk is VMEM-resident for the whole call while the input span
+    and output-column row blocks are double-buffered. At production widths
+    this returns one chunk (the plain kernels); at Y-halo widths (8k-16k+)
+    the operator alone would blow the 16 MiB scoped stack, so the call is
+    tiled over output-column groups at the XLA level (the per-element math
+    is identical — only store grouping changes, so chunked == unchunked
+    bit-for-bit). Returns ``(chunks, rows_tile)`` with chunks a list of
+    ``(c0, ng)`` block ranges."""
+    if budget is None:
+        budget = _X_VMEM_BUDGET
+    ng = nc
+    rows = 0
+    while True:
+        op_bytes = ng * w_win * r_out * 2 * 2  # (hi, lo) bf16, resident
+        # the widest input lane span any chunk of ng blocks covers
+        span = max(
+            starts[min(c0 + ng, nc) - 1] + w_win - starts[c0]
+            for c0 in range(0, nc, ng)
+        )
+        per_row = 2 * (span * in_item + ng * r_out * out_cols_item)
+        rows = (budget - op_bytes) // per_row if op_bytes < budget else 0
+        rows = min(rows_cap, rows // 8 * 8)
+        if rows >= 32 or ng == 1:
+            break
+        ng = -(-ng // 2)
+    if rows < 8:
+        raise ValueError(
+            f"x-kernel working set infeasible even at one column block: "
+            f"ng={ng}, rows={rows} (span {span}, budget {budget})"
+        )
+    chunks = [(c0, min(ng, nc - c0)) for c0 in range(0, nc, ng)]
+    return chunks, int(rows)
+
+
+def an_x_lowpass_chunked(
+    x: jax.Array,  # (B, H, W) uint16/float32
+    blocks: Tuple[jax.Array, jax.Array],
+    starts: Tuple[int, ...],
+    out_w: int,
+    log1p: bool = True,
+    interpret: bool = False,
+    budget: Optional[int] = None,
+):
+    """:func:`an_x_lowpass_log1p` with the operator tiled over output-column
+    chunks so arbitrarily wide planes fit the scoped-VMEM stack (the Y-halo
+    tier's per-shard x analysis pass; reference filtering.py:175-176 at
+    beyond-HBM widths). Bit-identical to the unchunked kernel: each output
+    element is one window dot either way. No stats side channel — chunks
+    overlap in input lanes, so per-chunk partial reductions would double
+    count; the halo route computes its per-plane statistics with psum'd
+    reductions outside instead."""
+    B, H, Wx = x.shape
+    bh, bl = blocks
+    nc, w_win, r_out = bh.shape
+    in_item = np.dtype(x.dtype).itemsize
+    rows_cap = 320 if np.issubdtype(np.dtype(x.dtype), np.integer) else 256
+    chunks, rows_tile = _plan_x_chunks(
+        nc, w_win, r_out, starts, in_item, 4, rows_cap, budget
+    )
+    if len(chunks) == 1:
+        return an_x_lowpass_log1p(
+            x, blocks, starts, out_w, rows_tile=rows_tile, log1p=log1p,
+            interpret=interpret,
+        )
+    outs = []
+    for c0, ng in chunks:
+        s0 = starts[c0]
+        send = min(starts[c0 + ng - 1] + w_win, Wx)
+        xs = jax.lax.slice_in_dim(x, s0, send, axis=2)
+        st_rel = tuple(s - s0 for s in starts[c0 : c0 + ng])
+        ow = min(ng * r_out, out_w - c0 * r_out)
+        outs.append(an_x_lowpass_log1p(
+            xs, (bh[c0 : c0 + ng], bl[c0 : c0 + ng]), st_rel, ow,
+            rows_tile=rows_tile, log1p=log1p, interpret=interpret,
+        ))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def syn_x_exp_chunked(
+    stacked: jax.Array,  # (B, H, L) f32
+    images: Optional[jax.Array],
+    blocks: Tuple[jax.Array, jax.Array],
+    starts: Tuple[int, ...],
+    out_w: int,
+    flat: Optional[jax.Array] = None,
+    dark: Optional[jax.Array] = None,
+    wrap: bool = False,
+    interpret: bool = False,
+    budget: Optional[int] = None,
+) -> jax.Array:
+    """:func:`syn_x_exp` with the operator tiled over output-column chunks
+    (the Y-halo tier's per-shard x synthesis + fused exp / flat-field / wrap
+    epilogue at beyond-HBM widths). The epilogue inputs (images, flat, dark)
+    are sliced to each chunk's output columns; numerics are bit-identical to
+    the unchunked kernel."""
+    B, H, L = stacked.shape
+    bh, bl = blocks
+    nc, w_win, r_out = bh.shape
+    with_img = images is not None
+    with_flat = flat is not None
+    img_item = 0 if images is None else np.dtype(images.dtype).itemsize
+    out_item = 2 if (with_flat or wrap) else 4
+    out_cols_item = out_item + img_item + (8 if with_flat else 0)
+    chunks, rows_tile = _plan_x_chunks(
+        nc, w_win, r_out, starts, 4, out_cols_item,
+        160 if with_flat else 320, budget,
+    )
+    if len(chunks) == 1:
+        return syn_x_exp(
+            stacked, images, blocks, starts, out_w, flat=flat, dark=dark,
+            wrap=wrap, rows_tile=rows_tile, interpret=interpret,
+        )
+    outs = []
+    for c0, ng in chunks:
+        s0 = starts[c0]
+        send = min(starts[c0 + ng - 1] + w_win, L)
+        ss = jax.lax.slice_in_dim(stacked, s0, send, axis=2)
+        st_rel = tuple(s - s0 for s in starts[c0 : c0 + ng])
+        ow = min(ng * r_out, out_w - c0 * r_out)
+        o0 = c0 * r_out
+        img_s = (
+            jax.lax.slice_in_dim(images, o0, o0 + ow, axis=2)
+            if with_img else None
+        )
+        flat_s = (
+            jax.lax.slice_in_dim(flat, o0, o0 + ow, axis=1)
+            if with_flat else None
+        )
+        dark_s = (
+            jax.lax.slice_in_dim(dark, o0, o0 + ow, axis=1)
+            if with_flat else None
+        )
+        outs.append(syn_x_exp(
+            ss, img_s, (bh[c0 : c0 + ng], bl[c0 : c0 + ng]), st_rel, ow,
+            flat=flat_s, dark=dark_s, wrap=wrap, rows_tile=rows_tile,
+            interpret=interpret,
+        ))
+    return jnp.concatenate(outs, axis=-1)

@@ -40,8 +40,13 @@ def available() -> bool:
     return pallas_env.enabled()
 
 
-def _make_kernel(H: int, W: int, rows: int, square: bool):
-    def kernel(stats_ref, x_ref, out_ref):
+def _make_kernel(H: int, W: int, rows: int, square: bool,
+                 dyn_rows: bool = False):
+    def kernel(*refs):
+        if dyn_rows:
+            stats_ref, rb_ref, x_ref, out_ref = refs
+        else:
+            stats_ref, x_ref, out_ref = refs
         b = pl.program_id(0)
         t = pl.program_id(1)
 
@@ -69,7 +74,14 @@ def _make_kernel(H: int, W: int, rows: int, square: bool):
         part = jnp.zeros((16, 16), jnp.float32)
         for r in range(x.shape[0]):  # static unroll (ROWS is small)
             hi_r = hi[r : r + 1, :]
-            if H % rows:
+            if dyn_rows:
+                # dynamic valid-row bound (Y-halo row shards: only the last
+                # shard carries mesh-divisibility pad rows, so the bound is
+                # a per-call runtime scalar, not a static shape property):
+                # poison rows at/past it exactly like the static tail
+                valid = (t * rows + r) < rb_ref[0]
+                hi_r = jnp.where(valid, hi_r, jnp.nan)
+            elif H % rows:
                 # ragged row tail: poison the whole row's indices
                 valid = (t * rows + r) < H
                 hi_r = jnp.where(valid, hi_r, jnp.nan)
@@ -96,6 +108,7 @@ def _make_kernel(H: int, W: int, rows: int, square: bool):
 def histogram256_batch(x: jax.Array, lo: jax.Array, span: jax.Array,
                        square: bool = False,
                        rows: int = _ROWS,
+                       row_bound: "jax.Array | None" = None,
                        interpret: bool = False) -> jax.Array:
     """Per-plane 256-bin histograms.
 
@@ -104,9 +117,15 @@ def histogram256_batch(x: jax.Array, lo: jax.Array, span: jax.Array,
     Otsu input) — saves materializing the squared array. Ragged tails are
     masked in-kernel, so the input is never padded/copied. Returns (B, 256)
     float32 counts, bit-identical binning to otsu.histogram_fixed_bins.
+
+    ``row_bound``: optional (1,) int32 DYNAMIC valid-row count — rows at or
+    past it contribute nothing (same poisoning as the static ragged tail).
+    Used by the Y-halo tier, where a row shard's mesh-divisibility padding
+    is a runtime property of the device, not of the array shape.
     """
     B, H, W = x.shape
     Wp = -(-W // 128) * 128
+    dyn_rows = row_bound is not None
     # Narrow planes underfill the MXU contraction: the kernel issues one
     # (16, Wp) dot per SUBLANE row, so dot-issue + one-hot-build overhead
     # scales with row count, not elements (measured on chip: the 204x254
@@ -122,7 +141,9 @@ def histogram256_batch(x: jax.Array, lo: jax.Array, span: jax.Array,
     # narrow bands repay (level-2 204x254: 1.06 -> ~0.4 ms; the 403x503
     # fold-2 level LOST ~0.7 ms net to its 53 MB copy — headline 10514 ->
     # 10394 MPix/s with fold-2 included).
-    if 0 < Wp <= 256:
+    if 0 < Wp <= 256 and not dyn_rows:
+        # (the lane fold re-groups rows, which would break a dynamic
+        # row bound; halo-tier bands are wide and never fold anyway)
         fold = 1024 // Wp
         Hf = -(-H // fold) * fold
         x = jnp.pad(
@@ -136,19 +157,27 @@ def histogram256_batch(x: jax.Array, lo: jax.Array, span: jax.Array,
 
     rows = min(rows, -(-H // 8) * 8)  # don't exceed the (8-aligned) plane
     n_tiles = -(-H // rows)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # full (B, 2) stats table
+    ]
+    ins = [stats]
+    if dyn_rows:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        ins.append(row_bound.reshape(1).astype(jnp.int32))
+    in_specs.append(
+        pl.BlockSpec(
+            (1, rows, Wp), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+        )
+    )
+    ins.append(x)
     out = pl.pallas_call(
-        _make_kernel(H, W, rows, square),
+        _make_kernel(H, W, rows, square, dyn_rows=dyn_rows),
         grid=(B, n_tiles),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # full (B, 2) stats table
-            pl.BlockSpec(
-                (1, rows, Wp), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 16, 16), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, 16, 16), jnp.float32),
         interpret=pallas_env.interpret_default(interpret),
-    )(stats, x)
+    )(*ins)
     return out.reshape(B, 256)

@@ -39,6 +39,16 @@ def available() -> bool:
     return pallas_env.enabled()
 
 
+def _rows_per(rows: int, wp: int) -> int:
+    """Row-tile height: the _ROWS default capped so the double-buffered
+    (rows_per, wp) f32 input block stays inside ~12 MiB of the 16 MiB
+    scoped-VMEM stack. Production bands (wp <= 1024) keep the measured 256;
+    Y-halo-tier bands (wp up to 8320+ at 16k-wide planes) shrink — the
+    selection is per-row, so tiling never changes the result."""
+    cap = max(8, int(12 * 2**20) // (wp * 4 * 2) // 8 * 8)
+    return min(min(_ROWS, cap), -(-rows // 8) * 8)
+
+
 def _sortable_keys(x):
     u = pltpu.bitcast(x, jnp.uint32)
     sign = u >> 31
@@ -126,9 +136,9 @@ def row_median_batch(x: jax.Array, interpret: bool = False) -> jax.Array:
     else:
         x3 = x.reshape((-1,) + x.shape[-2:]).astype(jnp.float32)
     nb, rows, _ = x3.shape
-    rows_per = min(_ROWS, -(-rows // 8) * 8)
-    n_row_blocks = -(-rows // rows_per)
     wp = -(-n // 128) * 128
+    rows_per = _rows_per(rows, wp)
+    n_row_blocks = -(-rows // rows_per)
 
     k2 = n // 2
     k1 = (n - 1) // 2
@@ -161,9 +171,9 @@ def row_median_masked(x: jax.Array, thr: jax.Array,
     returned unsliced so downstream Pallas consumers can block it without
     an XLA relayout."""
     B, rows, n = x.shape
-    rows_per = min(_ROWS, -(-rows // 8) * 8)
-    n_row_blocks = -(-rows // rows_per)
     wp = -(-n // 128) * 128
+    rows_per = _rows_per(rows, wp)
+    n_row_blocks = -(-rows // rows_per)
 
     k2 = n // 2
     k1 = (n - 1) // 2

@@ -67,15 +67,18 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import fft_notch
+from ..ops import pallas_band
+from ..ops import pallas_env
 from ..ops import wavelets as W
 from ..ops.filter import (
+    _PALLAS_MIN_PX,
     DestripePlan,
     _filter_level,
     classify_planes,
     normalize_flat_dark,
     wrap_cast,
 )
-from ..ops.otsu import threshold_otsu_batch
+from ..ops.otsu import otsu_from_counts, threshold_otsu_batch
 
 __all__ = [
     "banded_apply_y_sharded",
@@ -304,10 +307,73 @@ def idwt2_y_sharded(
 # ---------------------------------------------------------------------------
 
 
-def halo_constants(plan: DestripePlan, n_devices: int):
+def _plan_x_blocks(plan: DestripePlan):
+    """Blocked banded x-axis operators for the per-shard Pallas tier of
+    :func:`destripe_y_sharded` — the round-5 lever for the beyond-HBM halo
+    route (ROADMAP round-4 decision tree item 2): x-passes are row-local,
+    so each row shard can run the SAME blocked banded-operator kernels the
+    plane path uses (ops/pallas_band.py K1/K4) instead of the dense
+    O(W^2)-FLOP x matmuls that dominate the dense tier at 4k-16k widths.
+    Operator memory is O(W) (a few MB at 16k vs ~540 MB dense f32), and the
+    kernels chunk themselves over output columns to fit scoped VMEM
+    (pallas_band.an_x_lowpass_chunked / syn_x_exp_chunked).
+
+    Returns ``((k1_arrays, k4_arrays), (k1_static, k4_static))``: K1 keyed
+    by analysis level (finest first), K4 by synthesis index (coarsest
+    first). Levels too narrow for the window formulas (or whose band
+    escapes the closed-form windows — blocked_operator verifies coverage
+    exactly) are simply absent and fall back to the dense einsum."""
+    wav = W.wavelet(plan.wavelet)
+    rup = lambda a, b: -(-a // b) * b  # noqa: E731
+    cdiv = lambda a, b: -(-a // b)  # noqa: E731
+    split = pallas_band.split_bf16_np
+    k1_arrays, k1_static = {}, {}
+    k4_arrays, k4_static = {}, {}
+    w_cur = plan.width
+    for lvl in range(plan.n_levels):
+        L_w = plan.ladder[-1 - lvl][1]
+        smax = rup(w_cur, 128) - 384
+        if smax >= 0 and w_cur >= 560:
+            try:
+                starts = pallas_band.window_starts(
+                    cdiv(L_w, 128), 256, 128, smax
+                )
+                A = W.analysis_operator(w_cur, wav.name)
+                k1_arrays[lvl] = split(pallas_band.blocked_operator(
+                    A[:L_w], 128, 384, starts
+                ))
+                k1_static[lvl] = {"starts": starts, "out_w": L_w}
+            except ValueError:  # band wider than the window: dense fallback
+                pass
+        w_cur = L_w
+    for i in range(plan.n_levels):
+        L_x = plan.ladder[i][1]
+        tw = plan.ladder[i + 1][1] if i + 1 < plan.n_levels else plan.width
+        smax = rup(L_x, 128) - 384
+        if smax >= 0 and tw >= 560:
+            try:
+                starts = pallas_band.window_starts(
+                    cdiv(tw, 256), 128, 128, smax
+                )
+                S = W.synthesis_operator(L_x, wav.name)[:tw, :L_x]
+                k4_arrays[i] = split(pallas_band.blocked_operator(
+                    S, 256, 384, starts
+                ))
+                k4_static[i] = {"starts": starts, "out_w": tw}
+            except ValueError:
+                pass
+    return (k1_arrays, k4_arrays), (k1_static, k4_static)
+
+
+def halo_constants(plan: DestripePlan, n_devices: int,
+                   x_blocks: Optional[bool] = None):
     """Host-side shard planning for :func:`destripe_y_sharded` at one
     geometry/mesh size: per level, the OpShards of the analysis y lo/hi and
-    synthesis y lo/hi operators. Returns ``(arrays, static)``:
+    synthesis y lo/hi operators. With ``x_blocks`` (default: auto — when
+    the Pallas kernels can run here) the pytrees also carry the blocked
+    banded x operators of the per-shard Pallas tier under the string keys
+    ``"xk1"``/``"xk4"`` (:func:`_plan_x_blocks`); the integer keys stay the
+    per-level y shard plans. Returns ``(arrays, static)``:
 
     - ``arrays``: a pytree of numpy arrays — pass it THROUGH the jit
       boundary as an argument (device-resident), like ``plan.constants()``;
@@ -350,8 +416,21 @@ def halo_constants(plan: DestripePlan, n_devices: int):
             # replicated too, so stop planning here
             static[lvl] = None
             break
-        arrays[lvl] = lvl_arrays
+        # STRING keys: the arrays pytree crosses jit/device_put boundaries,
+        # and tree flattening cannot sort mixed int/str dict keys once the
+        # "xk1"/"xk4" groups join the per-level y plans
+        arrays[str(lvl)] = lvl_arrays
         static[lvl] = lvl_static
+    if x_blocks is None:
+        x_blocks = pallas_env.enabled()
+    if x_blocks:
+        (a1, a4), (s1, s4) = _plan_x_blocks(plan)
+        if a1:
+            arrays["xk1"] = {str(k): v for k, v in a1.items()}
+            static["xk1"] = s1
+        if a4:
+            arrays["xk4"] = {str(k): v for k, v in a4.items()}
+            static["xk4"] = s4
     return arrays, static
 
 
@@ -360,6 +439,151 @@ def _apply_planned(x, arrs, meta, mesh, axis):
     if x.shape[1] != n_pad:
         x = jnp.pad(x, [(0, 0), (0, n_pad - x.shape[1]), (0, 0)])
     return _apply_shards(x, OpShards(*arrs), meta["halo"], mesh, axis)
+
+
+# ---------------------------------------------------------------------------
+# Per-shard Pallas tier: row-local kernels inside shard_map, per-plane
+# statistics psum'd outside (ROADMAP round-4 decision tree item 2)
+# ---------------------------------------------------------------------------
+
+
+def _pad_rows_mult(a: jax.Array, mult: int, value=0) -> jax.Array:
+    """Zero-pad (by default) the ROW axis (1 for 3-D, 0 for 2-D) up to a
+    multiple of ``mult`` — shard_map requires evenly divisible sharded
+    extents. Row-local kernels map pad rows to pad output rows (cropped or
+    sliced away by the caller), and the y shard plans carry matching zero
+    operator columns, so the padding never reaches real outputs."""
+    ax = 1 if a.ndim == 3 else 0
+    h = a.shape[ax]
+    hp = -(-h // mult) * mult
+    if hp == h:
+        return a
+    pad = [(0, 0)] * a.ndim
+    pad[ax] = (0, hp - h)
+    return jnp.pad(a, pad, constant_values=value)
+
+
+def _k1_sharded(a, blocks, meta, mesh, axis, log1p):
+    """Per-shard blocked banded analysis x-pass (pallas_band K1, chunked):
+    rows sharded over the mesh, no collectives (the contraction is over
+    lanes). Input rows must already be a mesh multiple."""
+    bh, bl = jnp.asarray(blocks[0]), jnp.asarray(blocks[1])
+
+    def local(al, bhl, bll):
+        return pallas_band.an_x_lowpass_chunked(
+            al, (bhl, bll), meta["starts"], meta["out_w"], log1p=log1p
+        )
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis, None), P(), P()),
+        out_specs=P(None, axis, None), check_vma=False,
+    )(a, bh, bl)
+
+
+def _k4_sharded(stacked, images, blocks, meta, mesh, axis,
+                flat=None, dark=None, wrap=False):
+    """Per-shard blocked banded synthesis x-pass (pallas_band K4, chunked),
+    optionally fused with the exp / flat-field / wrap epilogue. All inputs
+    row-sharded (flat/dark over their leading axis); rows must already be
+    mesh multiples."""
+    bh, bl = jnp.asarray(blocks[0]), jnp.asarray(blocks[1])
+    with_img = images is not None
+    with_flat = flat is not None
+    args = [stacked, bh, bl]
+    specs = [P(None, axis, None), P(), P()]
+    if with_img:
+        args.append(images)
+        specs.append(P(None, axis, None))
+    if with_flat:
+        args += [flat, dark]
+        specs += [P(axis, None), P(axis, None)]
+
+    def local(st, bhl, bll, *rest):
+        img = rest[0] if with_img else None
+        fl, dk = (rest[-2], rest[-1]) if with_flat else (None, None)
+        return pallas_band.syn_x_exp_chunked(
+            st, img, (bhl, bll), meta["starts"], meta["out_w"],
+            flat=fl, dark=dk, wrap=wrap,
+        )
+
+    return shard_map(
+        local, mesh=mesh, in_specs=tuple(specs),
+        out_specs=P(None, axis, None), check_vma=False,
+    )(*args)
+
+
+def _otsu_sharded(ch: jax.Array, mesh: Mesh, axis: str,
+                  square: bool = True) -> jax.Array:
+    """Per-plane Otsu thresholds (``square=True``: over ``ch**2``, squared
+    in-kernel with the bin range from the |ch| extrema — the filter's Otsu
+    input; ``square=False``: over the values — the dual blend's Otsu) with
+    the band's rows sharded: shard-local extrema -> pmin/pmax (exact: the
+    min of minima IS the global min), shard-local Pallas 256-bin histograms
+    with the mesh-divisibility pad rows excluded by a dynamic row bound ->
+    psum, then the shared threshold tail (ops/otsu.otsu_from_counts)
+    replicated. Binning is bit-identical to the unsharded kernel; the
+    count psum adds D shard partials (each exact below 2^24) instead of
+    the grid's sequential accumulation — at least as accurate, and Otsu
+    bin effects of f32 count rounding at >16 MPix bands are the
+    already-documented cross-formulation mechanism."""
+    from ..ops.pallas_hist import histogram256_batch
+
+    D = mesh.shape[axis]
+    rows_valid = ch.shape[1]
+    ch_p = _pad_rows_mult(ch, D)
+
+    def local(chl):
+        d = jax.lax.axis_index(axis)
+        hl = chl.shape[1]
+        nvalid = jnp.clip(rows_valid - d * hl, 0, hl)
+        row = jax.lax.broadcasted_iota(jnp.int32, chl.shape, 1)
+        valid = row < nvalid
+        a = jnp.abs(chl) if square else chl
+        lo_a = jax.lax.pmin(
+            jnp.min(jnp.where(valid, a, jnp.inf), axis=(1, 2)), axis
+        )
+        hi_a = jax.lax.pmax(
+            jnp.max(jnp.where(valid, a, -jnp.inf), axis=(1, 2)), axis
+        )
+        if square:
+            lo, hi = lo_a * lo_a, hi_a * hi_a
+        else:
+            lo, hi = lo_a, hi_a
+        span = hi - lo
+        safe_span = jnp.where(span > 0, span, 1.0)
+        counts = histogram256_batch(
+            chl, lo, safe_span, square=square,
+            row_bound=jnp.reshape(nvalid, (1,)),
+        )
+        counts = jax.lax.psum(counts, axis)
+        return otsu_from_counts(counts, lo, hi)
+
+    return shard_map(
+        local, mesh=mesh, in_specs=(P(None, axis, None),),
+        out_specs=P(), check_vma=False,
+    )(ch_p)
+
+
+def _median_sharded(ch: jax.Array, thr: jax.Array, mesh: Mesh,
+                    axis: str) -> jax.Array:
+    """Row-sharded masked inpainting medians (pallas_median radix
+    bisection): the median is row-local, so shards need no collectives;
+    pad rows produce garbage medians in their own (cropped) rows."""
+    from ..ops.pallas_median import row_median_masked
+
+    D = mesh.shape[axis]
+    rows = ch.shape[1]
+    ch_p = _pad_rows_mult(ch, D)
+
+    def local(chl, thr_l):
+        return row_median_masked(chl, thr_l)
+
+    out = shard_map(
+        local, mesh=mesh, in_specs=(P(None, axis, None), P()),
+        out_specs=P(None, axis, None), check_vma=False,
+    )(ch_p, thr)
+    return out[:, :rows]
 
 
 def destripe_y_sharded(
@@ -432,14 +656,34 @@ def destripe_y_sharded(
     # a half-applied override would break the halo-vs-dense parity gates
     P_ = W._PRECISION
 
+    # --- per-shard Pallas tier gate (ROADMAP round-4 decision item 2) ---
+    # When the Pallas kernels can run, the row-local hot work runs INSIDE
+    # shard_map on each row shard: blocked banded x-passes (K1/K4, chunked
+    # for scoped VMEM at 8k-16k+ widths), Pallas Otsu histograms and masked
+    # inpainting medians; per-plane statistics are psum'd across shards.
+    # The dense-XLA formulation below remains the fallback (CPU tests, the
+    # DESTRIPE_HALO_PALLAS=0 kill switch) and the parity reference.
+    use_px = (
+        pallas_env.enabled()
+        and os.environ.get("DESTRIPE_HALO_PALLAS", "1") != "0"
+    )
+    k1s = (halo_static.get("xk1") if use_px else None) or {}
+    k4s = (halo_static.get("xk4") if use_px else None) or {}
+    fin = plan.n_levels - 1
+    # fully-fused IO: level-0 K1 ingests the raw planes (log1p fused) and
+    # the finest K4 fuses exp + the epilogue — log1p(x) is never
+    # materialized in HBM (two full-plane round trips saved)
+    fuse_io = plan.n_levels > 0 and 0 in k1s and fin in k4s
+    D_mesh = mesh.shape[axis]
+
     xf = x.astype(jnp.float32)
-    xlog = jnp.log(1.0 + xf)
     B0 = x.shape[0]
     if plan.n_levels == 0:
-        out0 = jnp.exp(xlog) + 1.0
+        out0 = jnp.exp(jnp.log(1.0 + xf)) + 1.0
         if dual:
             out0 = jnp.concatenate([out0, out0], axis=0)
     else:
+        xlog = None if fuse_io else jnp.log(1.0 + xf)
         if dual:
             # both configs on every plane, selected by batch half (same
             # contract as destripe_batch: first half = cells slot)
@@ -451,7 +695,7 @@ def destripe_y_sharded(
             meta = halo_static.get(lvl)
             if meta is not None:
                 return _apply_planned(
-                    a, halo_arrays[lvl][which], meta[which], mesh, axis
+                    a, halo_arrays[str(lvl)][which], meta[which], mesh, axis
                 )
             # replicated coarse level: dense einsum on the (tiny) band
             an_y = jnp.asarray(consts["an_y"][lvl])
@@ -466,15 +710,30 @@ def destripe_y_sharded(
             return jnp.einsum("ih,bhw->biw", OP, a, precision=P_)
 
         # analysis, finest -> coarsest (x-lowpass first: it halves the width
-        # while the y-pass expands it — same order as destripe_batch).
-        # Levels whose dense x operator was width-gated away (None) use the
-        # blocked shift-invariant lowpass pass instead (O(flen) operator).
+        # while the y-pass expands it — same order as destripe_batch). The
+        # Pallas tier runs the blocked banded K1 per row shard (x-passes
+        # are row-local: no collectives); levels whose dense x operator was
+        # width-gated away (None) use the blocked shift-invariant lowpass
+        # pass instead (O(flen) operator).
         wav_obj = W.wavelet(plan.wavelet)
         chs = []
-        a = xlog
+        a = x if fuse_io else xlog
         for lvl in range(plan.n_levels):
+            xk1 = k1s.get(lvl)
             an_x_lo = consts["an_x_lo"][lvl]
-            if an_x_lo is None:
+            if xk1 is not None:
+                a_p = _pad_rows_mult(a, D_mesh)
+                lox_w = _k1_sharded(
+                    a_p, halo_arrays["xk1"][str(lvl)], xk1, mesh, axis,
+                    log1p=(fuse_io and lvl == 0),
+                )
+                if (halo_static.get(lvl) is None
+                        and lox_w.shape[1] != a.shape[1]):
+                    # replicated coarse y level: the dense einsum needs the
+                    # exact row extent (sharded levels re-pad to the same
+                    # mesh multiple anyway, so they keep the padded rows)
+                    lox_w = lox_w[:, : a.shape[1]]
+            elif an_x_lo is None:
                 lox_w = W.an_lo_pass_last(a, wav_obj)
             else:
                 lox_w = jnp.einsum(
@@ -483,12 +742,18 @@ def destripe_y_sharded(
             chs.append(y_apply(lox_w, lvl, "an_hi"))
             a = y_apply(lox_w, lvl, "an_lo")
 
-        # filter every cH band, coarsest first (dense formulation — exact
-        # same numerics as the unsharded dense path). Width-gated levels
-        # (notch matrix None) apply the identical packed-gain spectral map
-        # via rfft instead of the O(w^2) matmul operator.
+        # filter every cH band, coarsest first. On the Pallas tier the
+        # per-plane Otsu runs as psum'd shard-local Pallas histograms and
+        # the inpainting medians as the row-local Pallas radix bisection
+        # (the where-formulation — identical numerics to the plane path's
+        # fused kernel); the notch product stays a row-sharded XLA matmul
+        # (GSPMD: lane contraction, no collectives). Small levels and the
+        # dense fallback keep the exact dense formulation. Width-gated
+        # levels (notch matrix None) apply the identical packed-gain
+        # spectral map via rfft instead of the O(w^2) matmul operator.
         sigmas = plan.notch_sigmas()
         deltas = []
+        HI = jax.lax.Precision.HIGH  # _filter_level's notch precision
         for j, (ch, bm_cat) in enumerate(
             zip(reversed(chs), consts["notch_cat"])
         ):
@@ -508,6 +773,59 @@ def destripe_y_sharded(
             else:
                 notch_apply = None
                 bm_dev = jnp.asarray(bm_cat)
+            big = (
+                use_px
+                and ch.dtype == jnp.float32
+                and ch.shape[-2] * ch.shape[-1] >= _PALLAS_MIN_PX
+            )
+            if big:
+                otsu1 = jnp.sqrt(_otsu_sharded(ch, mesh, axis, square=True))
+                w_b = ch.shape[-1]
+                if dual:
+                    # ONE Otsu per input plane shared by both bands,
+                    # tiled to the doubled batch (same contract as
+                    # destripe_batch's dual path)
+                    otsu_sqrt = jnp.tile(otsu1, 2)
+                    ch = jnp.concatenate([ch, ch], axis=0)
+                else:
+                    otsu_sqrt = otsu1
+                max_thr = jnp.where(
+                    is_cells,
+                    plan.cells.max_threshold,
+                    plan.no_cells.max_threshold,
+                )
+                threshold = jnp.minimum(max_thr, otsu_sqrt)
+                med = _median_sharded(ch, threshold, mesh, axis)
+                # sqrt(ch*ch), not |ch|: the reference's rounded compare
+                stripes = jnp.sqrt(ch * ch) > threshold[:, None, None]
+                inpainted = jnp.where(stripes, med, ch)
+                if bm_dev is None:
+                    both = notch_apply(inpainted)
+                    filtered = jnp.where(
+                        is_cells[:, None, None],
+                        both[..., :w_b], both[..., w_b:],
+                    )
+                elif dual:
+                    # the band split is STATIC in dual mode (first half =
+                    # cells), so each half multiplies only its own
+                    # operator — half the notch FLOPs of the
+                    # compute-both-then-select dense formulation
+                    filtered = jnp.concatenate([
+                        jnp.matmul(
+                            inpainted[:B0], bm_dev[:, :w_b], precision=HI
+                        ),
+                        jnp.matmul(
+                            inpainted[B0:], bm_dev[:, w_b:], precision=HI
+                        ),
+                    ], axis=0)
+                else:
+                    both = jnp.matmul(inpainted, bm_dev, precision=HI)
+                    filtered = jnp.where(
+                        is_cells[:, None, None],
+                        both[..., :w_b], both[..., w_b:],
+                    )
+                deltas.append(jnp.where(stripes, 0.0, filtered - ch))
+                continue
             if dual:
                 # ONE Otsu per input plane shared by both bands (the
                 # stripe threshold depends only on the coefficients, not
@@ -533,7 +851,10 @@ def destripe_y_sharded(
                 - ch
             )
 
-        # delta synthesis, coarsest -> finest
+        # delta synthesis, coarsest -> finest. The Pallas tier runs the
+        # blocked banded K4 per row shard; at the finest level (fuse_io)
+        # the kernel fuses exp + the flat-field / wrap epilogue against the
+        # raw planes and the function returns from inside the loop.
         corr = None
         for i, delta in enumerate(deltas):
             lvl = plan.n_levels - 1 - i
@@ -541,6 +862,37 @@ def destripe_y_sharded(
             stacked = y_apply(delta, lvl, "syn_hi")
             if corr is not None:
                 stacked = stacked + y_apply(corr[:, :L_h, :], lvl, "syn_lo")
+            xk4 = k4s.get(i)
+            if xk4 is not None:
+                st_p = _pad_rows_mult(stacked, D_mesh)
+                blocks4 = halo_arrays["xk4"][str(i)]
+                if i == fin and fuse_io:
+                    imgs_p = _pad_rows_mult(x, D_mesh)
+                    if flat is not None:
+                        # pad flat with ones / dark with zeros: the pad
+                        # rows' outputs are cropped, but 0/0 NaNs in them
+                        # would trip debug nan checks
+                        out_u16 = _k4_sharded(
+                            st_p, imgs_p, blocks4, xk4, mesh, axis,
+                            flat=_pad_rows_mult(flat, D_mesh, value=1.0),
+                            dark=_pad_rows_mult(dark, D_mesh),
+                        )
+                        return out_u16[:, : plan.height]
+                    out_f = _k4_sharded(
+                        st_p, imgs_p, blocks4, xk4, mesh, axis, wrap=wrap,
+                    )
+                    # wrap=True: fused uint16 wrap cast; otherwise the raw
+                    # exp(log1p(x) + corr) + 1.0 float32 planes (the dual
+                    # bands and the bare-f32 contract)
+                    return out_f[:, : plan.height]
+                corr = _k4_sharded(st_p, None, blocks4, xk4, mesh, axis)
+                if i == fin:
+                    # finest level reached without the fused ingest (xlog
+                    # was materialized): crop the mesh padding back off
+                    corr = corr[:, : plan.height]
+                # non-final levels keep the padded rows: the next stacking
+                # slices corr[:, :L_h] off the front anyway
+                continue
             syn_x_lo = consts["syn_x_lo"][i]
             if syn_x_lo is None:
                 tw = (
@@ -619,7 +971,16 @@ def dual_band_destripe_y_sharded(
         # (a wasted min/max + 256-bin histogram over a beyond-HBM plane)
         centers = jnp.full((b,), threshold, jnp.float32)
     else:
-        otsu_centers = threshold_otsu_batch(xf, pallas=False)
+        if (
+            pallas_env.enabled()
+            and os.environ.get("DESTRIPE_HALO_PALLAS", "1") != "0"
+            and xf.shape[-2] * xf.shape[-1] >= _PALLAS_MIN_PX
+        ):
+            # row-sharded Pallas histograms + psum (identical binning to
+            # the XLA formulation; see _otsu_sharded)
+            otsu_centers = _otsu_sharded(xf, mesh, axis, square=False)
+        else:
+            otsu_centers = threshold_otsu_batch(xf, pallas=False)
         centers = jnp.where(
             threshold < 0, otsu_centers,
             jnp.full_like(otsu_centers, threshold),

@@ -227,6 +227,22 @@ def _make_halo_step(plan, microscope_high_int, with_flatfield, devices,
         dense_only=True, banded_x_min_w=banded_x_min_w_default()
     )
     halo_arrays, halo_static = halo_constants(plan, n_dev)
+    # The per-shard Pallas tier replaces the dense x matmuls wherever its
+    # blocked K1/K4 operators exist — drop those dense operators from the
+    # device constants (at 16k widths they are ~0.5 GB EACH of HBM). The
+    # DESTRIPE_HALO_PALLAS=0 escape hatch then takes the banded/spectral
+    # x fallback for those levels (the documented <=1 LSB
+    # cross-formulation), not the dense matmuls.
+    if "xk1" in halo_static:
+        an_x = list(dense["an_x_lo"])
+        for lvl in halo_static["xk1"]:
+            an_x[lvl] = None
+        dense["an_x_lo"] = tuple(an_x)
+    if "xk4" in halo_static:
+        syn_x = list(dense["syn_x_lo"])
+        for i in halo_static["xk4"]:
+            syn_x[i] = None
+        dense["syn_x_lo"] = tuple(syn_x)
     consts = jax.device_put(dense, rep)
     harrs = jax.device_put(halo_arrays, rep)
 

@@ -107,6 +107,85 @@ def sweep_banded_x(widths, B=2, H=1600, iters=8):
     return results
 
 
+def sweep_halo_pallas(widths, B=2, H=1600, iters=8):
+    """Per-shard Pallas tier vs dense-XLA tier through the FULL halo kernel
+    (parallel/halo.py destripe_y_sharded) on a 1-device mesh — the round-5
+    measurement for VERDICT r4 next-item 1: the dense tier measured
+    316-705 MPix/s/device at 4k-16k widths (round-4 queue) because the
+    dense O(W^2) x matmuls dominate; the Pallas tier runs the blocked
+    banded K1/K4 x-kernels, psum'd Pallas Otsu histograms and radix-
+    bisection medians per row shard instead. The env gate is read at TRACE
+    time, so each variant gets a fresh jitted closure."""
+    import jax
+    import jax.numpy as jnp
+
+    from aind_smartspim_destripe_tpu.ops.filter import (
+        FilterConfig, build_plan,
+    )
+    from aind_smartspim_destripe_tpu.parallel.halo import (
+        destripe_y_sharded, halo_constants,
+    )
+    from aind_smartspim_destripe_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(1)
+    rng = np.random.default_rng(0)
+    results = {}
+    for W_ in widths:
+        plan = build_plan(
+            H, W_,
+            FilterConfig(wavelet="db3", level=None, sigma=64, max_threshold=3),
+            FilterConfig(wavelet="db3", level=None, sigma=128,
+                         max_threshold=12),
+        )
+        img = np.clip(
+            300 + (rng.normal(size=(B, H, 1)) * 60) * np.ones((1, 1, W_))
+            + rng.normal(size=(B, H, W_)) * 10, 0, 65535,
+        ).astype(np.uint16)
+        dev = jax.device_put(img)
+        harrs, hstatic = halo_constants(plan, 1, x_blocks=True)
+        harrs = jax.device_put(harrs)
+        consts = jax.device_put(plan.constants(dense_only=True))
+        for tag, env in (("pallas", "1"), ("dense", "0")):
+            os.environ["DESTRIPE_HALO_PALLAS"] = env
+
+            @partial(jax.jit, static_argnums=(0,))
+            def step_loop(n, images, consts, harrs):
+                def body(tok, _):
+                    x, _tok = jax.lax.optimization_barrier((images, tok))
+                    out = destripe_y_sharded(
+                        x, mesh, plan, consts, harrs, hstatic, wrap=True,
+                    )
+                    return out[0, 0, 0].astype(jnp.float32) + _tok, ()
+
+                tok, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+                return tok
+
+            try:
+                _ = float(np.asarray(step_loop(iters, dev, consts, harrs)))
+                best = float("inf")
+                for _rep in range(2):
+                    t0 = time.perf_counter()
+                    _ = float(np.asarray(
+                        step_loop(iters, dev, consts, harrs)
+                    ))
+                    best = min(best, time.perf_counter() - t0)
+                ms = best / iters * 1e3
+                mpix = iters * B * H * W_ / best / 1e6
+                results[(W_, tag)] = ms
+                print(f"halopallas W={W_} {tag}: {ms:.2f} ms/step "
+                      f"({mpix:.0f} MPix/s)", flush=True)
+            except Exception as e:
+                results[(W_, tag)] = None
+                print(f"halopallas W={W_} {tag}: FAILED ({type(e).__name__}: "
+                      f"{str(e).splitlines()[0][:120]})", flush=True)
+        os.environ.pop("DESTRIPE_HALO_PALLAS", None)
+        d, p = results.get((W_, "dense")), results.get((W_, "pallas"))
+        if d and p:
+            print(f"halopallas W={W_}: pallas speedup = {d / p:.2f}x",
+                  flush=True)
+    return results
+
+
 def main(argv):
     import jax
     import jax.numpy as jnp
@@ -118,6 +197,11 @@ def main(argv):
     if argv and argv[0] == "bandedx":
         widths = [int(v) for v in argv[1:]] or [2048, 4096, 8192, 16384]
         sweep_banded_x(widths)
+        return
+
+    if argv and argv[0] == "halopallas":
+        widths = [int(v) for v in argv[1:]] or [2048, 4096, 8192, 16384]
+        sweep_halo_pallas(widths)
         return
 
     from aind_smartspim_destripe_tpu.ops import pallas_band, pallas_notch
