@@ -515,6 +515,78 @@ def _row_median(x: jax.Array, pallas: bool = True) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Batched deep-level Otsu (round-5 A/B for the small-level tail)
+# ---------------------------------------------------------------------------
+
+# Round-5 knob: compute ALL the dense-path (deep) levels' Otsu thresholds
+# in ONE Pallas histogram call instead of one XLA reduce chain per level.
+# Mechanism differs from the REMOVED deep-pack (ROADMAP round-3 status):
+# no masked 4-D one-hots and no per-level scalar gathers — each narrow band
+# reuses the lane fold that measured a WIN for Wp <= 256 (NaN padding
+# self-masks in the kernel), bands stack along the BATCH axis, and one
+# shared threshold tail (otsu_from_counts) replaces n_deep cumsum chains.
+# Default off until its on-chip A/B wins (kernel_sweep.py deepotsu).
+def _deep_otsu_batch_enabled() -> bool:
+    # read at trace time (not import) so the on-chip A/B can flip it
+    # between fresh jitted closures
+    return os.environ.get("DESTRIPE_DEEP_OTSU", "0") == "1"
+
+
+def _deep_otsu_sqrt_batched(chs):
+    """Per-plane ``sqrt(otsu(ch**2))`` for a LIST of small (B, h_i, w_i)
+    detail bands via one Pallas histogram call: each band's rows fold into
+    1024-lane pseudo-rows (bit-identical counts — binning is position-
+    independent and NaN padding compares False in both one-hots), the folded
+    bands stack along batch, and one vectorized threshold tail runs over the
+    (n_bands*B, 256) counts. Returns a list of (B,) float32 thresholds in
+    input order. Numerics identical to per-level
+    ``sqrt(threshold_otsu_batch(ch*ch, pallas=False))`` — gated exactly in
+    tests/test_deep_otsu.py."""
+    from .pallas_hist import histogram256_batch
+
+    B = chs[0].shape[0]
+    folded, los, his = [], [], []
+    rows_max = 0
+    for ch in chs:
+        ch = ch.astype(jnp.float32)
+        absx = jnp.abs(ch)
+        lo_a = jnp.min(absx, axis=(1, 2))
+        hi_a = jnp.max(absx, axis=(1, 2))
+        los.append(lo_a * lo_a)
+        his.append(hi_a * hi_a)
+        h, w = ch.shape[1], ch.shape[2]
+        wp = -(-w // 128) * 128
+        fold = max(1024 // wp, 1)
+        hf = -(-h // fold) * fold
+        f = jnp.pad(
+            ch, ((0, 0), (0, hf - h), (0, wp - w)),
+            constant_values=jnp.nan,
+        ).reshape(B, hf // fold, fold * wp)
+        if f.shape[-1] < 1024:  # pragma: no cover - wp always 128/256 here
+            f = jnp.pad(f, ((0, 0), (0, 0), (0, 1024 - f.shape[-1])),
+                        constant_values=jnp.nan)
+        folded.append(f)
+        rows_max = max(rows_max, f.shape[1])
+    stacked = jnp.concatenate(
+        [
+            jnp.pad(f, ((0, 0), (0, rows_max - f.shape[1]), (0, 0)),
+                    constant_values=jnp.nan)
+            for f in folded
+        ],
+        axis=0,
+    )
+    lo = jnp.concatenate(los)
+    hi = jnp.concatenate(his)
+    span = hi - lo
+    safe_span = jnp.where(span > 0, span, 1.0)
+    counts = histogram256_batch(stacked, lo, safe_span, square=True)
+    from .otsu import otsu_from_counts
+
+    th = jnp.sqrt(otsu_from_counts(counts, lo, hi))
+    return [th[i * B : (i + 1) * B] for i in range(len(chs))]
+
+
+# ---------------------------------------------------------------------------
 # Per-level horizontal-band filtering (reference filtering.py:186-219)
 # ---------------------------------------------------------------------------
 
@@ -835,11 +907,26 @@ def destripe_batch(
     # 10568 -> 10244 — a ~3% regression both times: the coarse levels'
     # dense-XLA ops fuse well enough that packing only adds lane padding
     # and gather/scatter. Recorded in ROADMAP.md; do not rebuild it.)
+    # Round-5 narrower A/B (DESTRIPE_DEEP_OTSU): batch ONLY the deep
+    # levels' Otsu into one folded Pallas histogram call — see
+    # _deep_otsu_sqrt_batched and kernel_sweep.py deepotsu.
+    deep_otsu: dict = {}
+    if _deep_otsu_batch_enabled() and pallas_env.enabled():
+        deep_js = [
+            j for j, ch in enumerate(chs_rev)
+            if ch.shape[-2] * ch.shape[-1] < _PALLAS_MIN_PX
+            and ch.dtype == jnp.float32
+        ]
+        if len(deep_js) >= 2:
+            deep_otsu = dict(zip(
+                deep_js,
+                _deep_otsu_sqrt_batched([chs_rev[j] for j in deep_js]),
+            ))
     for j, (ch, bm_cat, nsel) in enumerate(
         zip(chs_rev, consts["notch_cat"], notch_sel)
     ):
         abs_r = ch_ranges.get(n_chs - 1 - j)
-        otsu_sqrt = None
+        otsu_sqrt = deep_otsu.get(j)
         if dual:
             # ONE Otsu per input plane, shared by both bands (the stripe
             # threshold depends only on the coefficients, not the sigma),
@@ -850,12 +937,15 @@ def destripe_batch(
                 and ch.dtype == jnp.float32
                 and ch.shape[-2] * ch.shape[-1] >= _PALLAS_MIN_PX
             )
-            otsu1 = jnp.sqrt(threshold_otsu_batch(
-                ch if big else ch * ch,
-                square=big,
-                abs_range=abs_r if big else None,
-                pallas=None if big else False,
-            ))
+            if otsu_sqrt is not None and not big:
+                otsu1 = otsu_sqrt  # batched deep-level Otsu (same numerics)
+            else:
+                otsu1 = jnp.sqrt(threshold_otsu_batch(
+                    ch if big else ch * ch,
+                    square=big,
+                    abs_range=abs_r if big else None,
+                    pallas=None if big else False,
+                ))
             otsu_sqrt = jnp.tile(otsu1, 2)
             abs_r = None
         deltas.append(_filter_level_delta(

@@ -221,6 +221,8 @@ def main(argv):
         # flat-epilogue (level 0) calls — big values overflow the flat one
         "blend": [32, 48, 64, 96],  # dual-band blend kernel rows_tile
         # (128 overflows scoped VMEM; timed on the DUAL step, not config 1)
+        "deepotsu": [0, 1],  # batch the deep levels' Otsu into ONE folded
+        # Pallas histogram call (DESTRIPE_DEEP_OTSU, round-5 tail A/B)
     }[knob]
 
     H, W, B = 1600, 2000, 64
@@ -273,6 +275,9 @@ def main(argv):
             # dual_band resolves the kernel through the module attr at
             # trace time, so patching the module is enough
             pallas_blend.blend_smooth_mix = partial(orig_blend, rows_tile=v)
+        elif knob == "deepotsu":
+            # read from the env at trace time (fresh closure per variant)
+            os.environ["DESTRIPE_DEEP_OTSU"] = str(v)
         else:
             raise SystemExit(f"unknown knob {knob}")
 
