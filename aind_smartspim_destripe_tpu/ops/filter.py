@@ -525,11 +525,14 @@ def _row_median(x: jax.Array, pallas: bool = True) -> jax.Array:
 # reuses the lane fold that measured a WIN for Wp <= 256 (NaN padding
 # self-masks in the kernel), bands stack along the BATCH axis, and one
 # shared threshold tail (otsu_from_counts) replaces n_deep cumsum chains.
-# Default off until its on-chip A/B wins (kernel_sweep.py deepotsu).
+# On-chip A/B (v5e 2026-08-19, kernel_sweep.py deepotsu, both orders):
+# OFF 19.34/19.57 ms/step vs ON 19.14/19.33 — a consistent ~0.2 ms win
+# (run noise ~0.13), so the default is ON. Thresholds are bit-identical
+# either way (tests/test_deep_otsu.py).
 def _deep_otsu_batch_enabled() -> bool:
     # read at trace time (not import) so the on-chip A/B can flip it
     # between fresh jitted closures
-    return os.environ.get("DESTRIPE_DEEP_OTSU", "0") == "1"
+    return os.environ.get("DESTRIPE_DEEP_OTSU", "1") == "1"
 
 
 def _deep_otsu_sqrt_batched(chs):

@@ -134,7 +134,8 @@ def config1():
     assert full.shape == (1, 2048, 2048)
 
     pcie_gbs = 12.0
-    prod_floor_s = step_ms / 1e3 + 2 * (nbytes / (pcie_gbs * 1e9))
+    pcie_s = 2 * (nbytes / (pcie_gbs * 1e9))
+    prod_floor_s = step_ms / 1e3 + pcie_s
     print(json.dumps({
         "metric": "config1_latency_decomposition",
         "h2d_ms": round(h2d_s * 1e3, 1),
@@ -147,6 +148,34 @@ def config1():
                 "~12 GB/s; tunnel transfer/RTT columns are dev-harness "
                 "artifacts",
     }), flush=True)
+
+    # Config-1 posture (VERDICT r4 next-item 6): the unoverlapped
+    # single-shot floor above is a LATENCY number; production streams
+    # slices through the double-buffered pipeline, where PCIe
+    # (~0.7 ms/slice both ways at 12 GB/s) hides under the ~2 ms device
+    # step, so the sustained host-inclusive rate is the device step rate.
+    # Quantify the micro-batch ladder: the smallest B whose device rate
+    # stays >= 2 GPix/s even in the worst case of fully SEQUENTIAL
+    # (unoverlapped) PCIe transfers.
+    for b in (2, 4):
+        img_b = jax.device_put(_striped(b, 2048, 2048, seed=b))
+        _ = float(np.asarray(loop(plan, n_it, img_b, consts)))
+        t0 = time.perf_counter()
+        _ = float(np.asarray(loop(plan, n_it, img_b, consts)))
+        dt_b = time.perf_counter() - t0
+        step_b_ms = dt_b / n_it * 1e3
+        seq_s = dt_b / n_it + b * pcie_s
+        print(json.dumps({
+            "metric": f"config1_microbatch_b{b}",
+            "device_mpix_s": round(img_b.size * n_it / dt_b / 1e6, 1),
+            "ms_per_batch": round(step_b_ms, 2),
+            "seq_host_inclusive_mpix_s": round(
+                img_b.size / seq_s / 1e6, 1
+            ),
+            "note": "seq = device step + UNoverlapped PCIe both ways; "
+                    "the streaming pipeline overlaps transfers, so "
+                    "sustained = device rate",
+        }), flush=True)
 
 
 def config2():

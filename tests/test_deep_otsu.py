@@ -54,6 +54,7 @@ def test_destripe_batch_unchanged_with_knob(monkeypatch, dual):
         FilterConfig(wavelet="db3", level=None, sigma=128, max_threshold=12),
     )
     consts = plan.constants()
+    monkeypatch.setenv("DESTRIPE_DEEP_OTSU", "0")
     base = np.asarray(destripe_batch(
         plan, jnp.asarray(img), 2500.0, consts, dual=dual
     ))
