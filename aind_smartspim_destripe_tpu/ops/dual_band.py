@@ -92,7 +92,6 @@ def dual_band_destripe_batch(
     x = images.astype(jnp.float32)
     b = x.shape[0]
     both = destripe_batch(plan, images, -jnp.inf, consts, dual=True)
-    fore, back = both[:b], both[b:]
 
     # Pallas one-hot histogram on TPU (ops/pallas_hist.py); the vmapped
     # scalar fallback's broadcast-compare loop costs ~10x at this size
@@ -104,7 +103,10 @@ def dual_band_destripe_batch(
     # Fused blend (ops/pallas_blend.py): sigmoid -> 17x17 box smooth ->
     # band mix in one kernel — the XLA chain below moves the full-res frac
     # through HBM five times (~29 ms of the ~65 ms dual step at production
-    # geometry). Needs a static crossover (baked into the kernel).
+    # geometry). Needs a static crossover (baked into the kernel). The
+    # kernel reads BOTH bands from the stacked (2B, H, W) buffer by block
+    # index (back=None) — slicing fore/back first materializes a
+    # 2x-full-plane copy fusion (5.1 ms/step at B=64, round-5 dual trace).
     if (
         pallas_env.enabled()
         and not isinstance(crossover, jax.core.Tracer)
@@ -112,10 +114,12 @@ def dual_band_destripe_batch(
         and x.shape[-2] * x.shape[-1] >= 400_000
     ):
         return pallas_blend.blend_smooth_mix(
-            x, fore, back, centers, float(crossover)
+            x, both, None, centers, float(crossover)
         )
 
-    return blend_bands_xla(x, fore, back, centers, crossover, smooth_radius)
+    return blend_bands_xla(
+        x, both[:b], both[b:], centers, crossover, smooth_radius
+    )
 
 
 def blend_bands_xla(

@@ -52,8 +52,10 @@ def _cdiv(a: int, b: int) -> int:
 
 def blend_smooth_mix(
     x: jax.Array,  # (B, H, W) f32 raw planes
-    fore: jax.Array,  # (B, H, W) f32 foreground band
-    back: jax.Array,  # (B, H, W) f32 background band
+    fore: jax.Array,  # (B, H, W) f32 foreground band — or, with back=None,
+    # the STACKED (2B, H, W) band pair straight from destripe_batch(dual=
+    # True) ([:B] = foreground, [B:] = background)
+    back: jax.Array,  # (B, H, W) f32 background band, or None (stacked)
     centers: jax.Array,  # (B,) f32 sigmoid centers
     crossover: float,
     rows_tile: int = 64,  # on-chip dual-step sweep 2026-08-19: 32 -> 54.74
@@ -61,6 +63,12 @@ def blend_smooth_mix(
     # scoped VMEM (25 MB vs the 16 MB limit)
     interpret: bool = False,
 ) -> jax.Array:
+    """With ``back=None`` both band blocks are read from the one stacked
+    buffer by block index (foreground plane ``b``, background ``b + B``) —
+    the round-5 dual-step trace showed XLA materializing the
+    ``both[:B]``/``both[B:]`` split as a 2x-full-plane copy fusion
+    (5.1 ms/step, ~980 MB of HBM traffic at B=64 production geometry) that
+    this indexing removes. Outputs are bit-identical either way."""
     B, H, W = x.shape
     # one edge pad in XLA (cheap, fused with the upstream cast); sigmoid is
     # monotone elementwise so pad-then-sigmoid == sigmoid-then-pad
@@ -99,6 +107,17 @@ def blend_smooth_mix(
         o_ref[0] = f_ref[0] * sm + b_ref[0] * (1.0 - sm)
 
     clamp_blk = lambda t: jnp.minimum(t, n_blk - 1)  # noqa: E731
+    stacked = back is None
+    if stacked:
+        if fore.shape[0] != 2 * B:
+            raise ValueError(
+                f"stacked band pair must hold 2B={2 * B} planes, got "
+                f"{fore.shape[0]}"
+            )
+        back = fore
+        b_imap = lambda b, t, c: (b + B, t, 0)  # noqa: E731
+    else:
+        b_imap = lambda b, t, c: (b, t, 0)  # noqa: E731
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -112,7 +131,7 @@ def blend_smooth_mix(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, rows_tile, W), lambda b, t, c: (b, t, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, rows_tile, W), lambda b, t, c: (b, t, 0),
+                pl.BlockSpec((1, rows_tile, W), b_imap,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, rows_tile, W),

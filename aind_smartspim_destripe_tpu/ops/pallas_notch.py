@@ -86,8 +86,13 @@ def notch_delta(
     thr: jax.Array,  # (B,) f32 per-plane stripe threshold
     sel_idx: jax.Array,  # (B,) int32: 0 = cells operator, 1 = no-cells
     op_blocks: Tuple[jax.Array, jax.Array],  # (hi, lo) bf16 (2, wp, wp)
-    rows_tile: int = 256,  # on-chip full-step sweep (B=64, 1600x2000):
-    # 64 -> 21.85 ms, 128 -> 19.73, 256 -> 19.63 (benchmarks/kernel_sweep.py)
+    rows_tile: Optional[int] = None,  # single-band default 256 (on-chip
+    # full-step sweep at B=64 1600x2000: 64 -> 21.85 ms, 128 -> 19.73,
+    # 256 -> 19.63); DUAL (wrapped-batch) calls default 128 — with the
+    # round-5 stacked-blend change XLA's VMEM prefetch of the blend's
+    # operands overlaps this kernel's window and the 256-row tile
+    # overflows Mosaic's 16 MiB scoped stack by 1.9 MiB (measured
+    # 2026-08-19; 128 restores ~2 MiB of headroom)
     interpret: bool = False,
 ) -> jax.Array:
     """Fused mask -> inpaint -> per-plane notch matmul -> delta. Returns
@@ -108,6 +113,8 @@ def notch_delta(
     n_out = int(thr.shape[0])
     if n_out % B:
         raise ValueError(f"output batch {n_out} not a multiple of input {B}")
+    if rows_tile is None:
+        rows_tile = 256 if n_out == B else 128
     oph, opl = op_blocks
     wp = oph.shape[-1]
     n_rt = _cdiv(h, rows_tile)

@@ -114,6 +114,36 @@ def test_pallas_blend_matches_xla_chain():
         )
 
 
+def test_pallas_blend_stacked_pair_bitexact():
+    """back=None reads both bands from the stacked (2B, H, W) buffer by
+    block index (the round-5 split-copy removal) — output must be
+    BIT-identical to the split-argument call."""
+    import jax.numpy as jnp
+
+    from aind_smartspim_destripe_tpu.ops import pallas_blend
+
+    rng = np.random.default_rng(31)
+    B, H, W = 2, 200, 260
+    x = rng.uniform(0.0, 4000.0, (B, H, W)).astype(np.float32)
+    fore = (x * 0.9 + rng.normal(size=(B, H, W)) * 5).astype(np.float32)
+    back = (x * 1.1 + rng.normal(size=(B, H, W)) * 5).astype(np.float32)
+    centers = rng.uniform(100.0, 400.0, (B,)).astype(np.float32)
+    split = np.asarray(pallas_blend.blend_smooth_mix(
+        jnp.asarray(x), jnp.asarray(fore), jnp.asarray(back),
+        jnp.asarray(centers), 100.0, interpret=True,
+    ))
+    stacked = np.asarray(pallas_blend.blend_smooth_mix(
+        jnp.asarray(x), jnp.asarray(np.concatenate([fore, back])), None,
+        jnp.asarray(centers), 100.0, interpret=True,
+    ))
+    np.testing.assert_array_equal(split, stacked)
+    with pytest.raises(ValueError, match="stacked band pair"):
+        pallas_blend.blend_smooth_mix(
+            jnp.asarray(x), jnp.asarray(fore), None,
+            jnp.asarray(centers), 100.0, interpret=True,
+        )
+
+
 def test_dual_band_fused_blend_wiring(monkeypatch):
     """dual_band_destripe_batch dispatches to the fused blend kernel above
     the size gate; its output must match the XLA formulation end to end."""
