@@ -89,7 +89,13 @@ def dual_band_destripe_batch(
     - ``crossover``: sigmoid width (reference foreground_fraction semantics).
     """
     check_crossover(crossover)
-    x = images.astype(jnp.float32)
+    # Raw uint16 batches stay uint16 through the whole blend section: the
+    # Otsu histogram kernel and the fused blend kernel both convert in-VMEM
+    # (exact — every 16-bit value is f32-representable, so sigmoid/threshold
+    # bits are identical), which removes the materialized f32 copy of the
+    # input plane plus its padded twin (~3 GB/step of HBM traffic at B=64
+    # production geometry). Float callers keep the legacy cast.
+    x = images if images.dtype == jnp.uint16 else images.astype(jnp.float32)
     b = x.shape[0]
     both = destripe_batch(plan, images, -jnp.inf, consts, dual=True)
 
@@ -136,6 +142,7 @@ def blend_bands_xla(
     route (parallel/halo.dual_band_destripe_y_sharded, where GSPMD
     partitions it) — the two outputs are gated to <= 1 LSB of each other,
     so the numerics must come from a single site."""
+    x = x.astype(jnp.float32)  # uint16 callers: sigmoid math is float
     frac = 1.0 / (1.0 + jnp.exp(-(x - centers[:, None, None]) / crossover))
     frac = _smooth(frac, smooth_radius)
     return fore * frac + back * (1.0 - frac)
@@ -208,13 +215,21 @@ def dual_band_destripe_configs(
     out = np.asarray(
         _jitted_dual(
             plan,
-            jnp.asarray(img.astype(np.float32, copy=False)),
+            jnp.asarray(_as_device_dtype(img)),
             float(threshold),
             device_constants(plan),
             crossover=float(crossover),
         )
     )
     return out[0] if squeeze else out
+
+
+def _as_device_dtype(img: np.ndarray) -> np.ndarray:
+    """uint16 ships raw (the kernels ingest it directly — see
+    dual_band_destripe_batch); anything else goes to float32."""
+    if img.dtype == np.uint16:
+        return img
+    return img.astype(np.float32, copy=False)
 
 
 def dual_band_filtering(
@@ -238,7 +253,7 @@ def dual_band_filtering(
     out = np.asarray(
         _jitted_dual(
             plan,
-            jnp.asarray(img.astype(np.float32, copy=False)),
+            jnp.asarray(_as_device_dtype(img)),
             float(threshold),
             device_constants(plan),
             crossover=float(crossover),

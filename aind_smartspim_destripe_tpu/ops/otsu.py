@@ -99,10 +99,26 @@ def threshold_otsu_batch(
         )
     use_pallas = (valid and pallas_env.enabled()) if pallas is None else pallas
     if not use_pallas:
-        xs = x * x if square else x
+        xv = (
+            x if jnp.issubdtype(x.dtype, jnp.floating)
+            else x.astype(jnp.float32)  # integer planes: bin math is float
+        )
+        xs = xv * xv if square else xv
         return jax.vmap(lambda p: threshold_otsu(p, nbins))(xs)
 
     from .pallas_hist import histogram256_batch
+
+    # Raw uint16 planes go to the kernel UNCAST (in-kernel exact f32
+    # conversion) — a host-graph cast materializes a full f32 copy of the
+    # plane just to feed the pallas_call, doubling its HBM read. The range
+    # reduce runs on the integers; min/max commute with the exact cast.
+    if x.dtype == jnp.uint16 and not square:
+        lo = jnp.min(x, axis=(1, 2)).astype(jnp.float32)
+        hi = jnp.max(x, axis=(1, 2)).astype(jnp.float32)
+        span = hi - lo
+        safe_span = jnp.where(span > 0, span, 1.0)
+        counts = histogram256_batch(x, lo, safe_span)
+        return otsu_from_counts(counts, lo, hi, nbins)
 
     xf = x.astype(jnp.float32)
     if square:

@@ -35,6 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import pallas_env
+from .pallas_band import _load_f32
 
 __all__ = ["available", "blend_smooth_mix"]
 
@@ -51,7 +52,7 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def blend_smooth_mix(
-    x: jax.Array,  # (B, H, W) f32 raw planes
+    x: jax.Array,  # (B, H, W) f32 — or raw uint16 — planes
     fore: jax.Array,  # (B, H, W) f32 foreground band — or, with back=None,
     # the STACKED (2B, H, W) band pair straight from destripe_batch(dual=
     # True) ([:B] = foreground, [B:] = background)
@@ -68,7 +69,12 @@ def blend_smooth_mix(
     the round-5 dual-step trace showed XLA materializing the
     ``both[:B]``/``both[B:]`` split as a 2x-full-plane copy fusion
     (5.1 ms/step, ~980 MB of HBM traffic at B=64 production geometry) that
-    this indexing removes. Outputs are bit-identical either way."""
+    this indexing removes. Outputs are bit-identical either way.
+
+    With uint16 ``x`` the edge pad stays uint16 and the kernel converts
+    in-VMEM (exact — the sigmoid sees identical f32 bits), halving the
+    padded plane's HBM write and the kernel's double-block read vs a
+    host-graph f32 cast."""
     B, H, W = x.shape
     # one edge pad in XLA (cheap, fused with the upstream cast); sigmoid is
     # monotone elementwise so pad-then-sigmoid == sigmoid-then-pad
@@ -100,7 +106,7 @@ def blend_smooth_mix(
         # assembled window down to rt+16 rows (sublane-aligned for rt % 8
         # == 0) so the sigmoid + rows pass don't run on 2*rt rows
         xa = jnp.concatenate([x0_ref[0], x1_ref[0]], axis=0)
-        xa = xa[: rows_tile + K - 1]
+        xa = _load_f32(xa[: rows_tile + K - 1])
         frac = 1.0 / (1.0 + jnp.exp(-(xa - c) * inv_cross))
         rs = box17(frac, 1, W)          # rows pass (lanes)
         sm = box17(rs, 0, rows_tile) * inv_k2  # cols pass (sublanes)

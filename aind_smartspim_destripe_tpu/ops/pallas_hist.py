@@ -28,6 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import pallas_env
+from .pallas_band import _load_f32
 
 __all__ = ["histogram256_batch", "available"]
 
@@ -53,7 +54,9 @@ def _make_kernel(H: int, W: int, rows: int, square: bool,
         lo = stats_ref[b, 0]
         span = stats_ref[b, 1]
 
-        x = x_ref[0]  # (ROWS, Wp)
+        x = _load_f32(x_ref[0])  # (ROWS, Wp); raw uint16 converts in-kernel
+        # (exact: every 16-bit value is representable in f32), halving the
+        # streamed block vs a host-side f32 cast that materializes the plane
         if square:
             x = x * x  # bin on x^2 without materializing it in HBM
         idx = jnp.floor((x - lo) / span * 256.0)
@@ -112,7 +115,9 @@ def histogram256_batch(x: jax.Array, lo: jax.Array, span: jax.Array,
                        interpret: bool = False) -> jax.Array:
     """Per-plane 256-bin histograms.
 
-    x: (B, H, W) float32; lo/span: (B,) plane min and (max - min, guarded).
+    x: (B, H, W) float32 or raw uint16 (converted in-kernel — exact, and
+    half the HBM read of a materialized f32 cast); lo/span: (B,) plane min
+    and (max - min, guarded), always float32.
     With ``square=True`` the histogram is over x**2, squared in-kernel (the
     Otsu input) — saves materializing the squared array. Ragged tails are
     masked in-kernel, so the input is never padded/copied. Returns (B, 256)

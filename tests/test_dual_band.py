@@ -227,3 +227,61 @@ def test_dual_band_matches_independent_float64_oracle():
     mse = np.mean((u16g.astype(np.float64) - u16w.astype(np.float64)) ** 2)
     p = 10 * np.log10(65535.0**2 / max(mse, 1e-12))
     assert p > 80, f"dual-band PSNR vs float64 oracle too low: {p:.1f} dB"
+
+
+def test_pallas_blend_uint16_ingest_bitexact():
+    """Integer-valued planes through the u16 ingest (pad stays uint16, the
+    kernel converts in-VMEM) must blend bit-identically to the f32 call —
+    every 16-bit value is exactly representable, so the sigmoid sees the
+    same bits."""
+    import jax.numpy as jnp
+
+    from aind_smartspim_destripe_tpu.ops import pallas_blend
+
+    rng = np.random.default_rng(41)
+    B, H, W = 2, 200, 260
+    x16 = rng.integers(0, 65536, size=(B, H, W), dtype=np.uint16)
+    fore = rng.normal(scale=300.0, size=(B, H, W)).astype(np.float32) + 500
+    back = rng.normal(scale=300.0, size=(B, H, W)).astype(np.float32) + 500
+    centers = rng.uniform(100.0, 4000.0, (B,)).astype(np.float32)
+    f32 = np.asarray(pallas_blend.blend_smooth_mix(
+        jnp.asarray(x16.astype(np.float32)), jnp.asarray(fore),
+        jnp.asarray(back), jnp.asarray(centers), 100.0, interpret=True,
+    ))
+    u16 = np.asarray(pallas_blend.blend_smooth_mix(
+        jnp.asarray(x16), jnp.asarray(fore), jnp.asarray(back),
+        jnp.asarray(centers), 100.0, interpret=True,
+    ))
+    np.testing.assert_array_equal(u16, f32)
+
+
+@pytest.mark.parametrize("no_pallas", [False, True])
+def test_dual_band_uint16_input_bitexact(monkeypatch, no_pallas):
+    """The full dual step fed raw uint16 (the production pipeline's dtype)
+    must reproduce the f32-fed output bit-for-bit on BOTH the fused-kernel
+    path (in-VMEM conversion) and the XLA fallback (cast in blend_bands_xla
+    / the otsu vmap)."""
+    import jax.numpy as jnp
+
+    from aind_smartspim_destripe_tpu.ops.dual_band import (
+        _dual_plan, dual_band_destripe_batch,
+    )
+
+    if no_pallas:
+        monkeypatch.setenv("DESTRIPE_NO_PALLAS", "1")
+    else:
+        monkeypatch.setenv("DESTRIPE_PALLAS_INTERPRET", "1")
+    h, w = 560, 720  # above the band + blend size gates
+    rng = np.random.default_rng(17)
+    x16 = np.clip(
+        400 + (rng.normal(size=(1, h, 1)) * 60) * np.ones((1, 1, w))
+        + rng.normal(size=(1, h, w)) * 10, 0, 65535,
+    ).astype(np.uint16)
+    plan = _dual_plan(h, w, "db3", None, 256.0, 128.0, 12.0)
+    consts = plan.constants()
+    got16 = np.asarray(dual_band_destripe_batch(
+        plan, jnp.asarray(x16), 100.0, -1.0, consts=consts))
+    got32 = np.asarray(dual_band_destripe_batch(
+        plan, jnp.asarray(x16.astype(np.float32)), 100.0, -1.0,
+        consts=consts))
+    np.testing.assert_array_equal(got16, got32)

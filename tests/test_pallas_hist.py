@@ -101,3 +101,45 @@ def test_histogram_square_mode_matches_squared_input():
     )
     np.testing.assert_array_equal(got, want)
     assert got.sum(axis=1).tolist() == [21 * 203] * 3  # ragged tails masked
+
+
+def test_histogram_uint16_ingest_bitexact():
+    """Raw uint16 input converts in-kernel (exact) — counts must be
+    bit-identical to the f32-cast input, at a ragged lane width (the NaN
+    lane poisoning runs on the post-conversion f32 indices) and through
+    the narrow-band lane fold (which casts on the XLA side)."""
+    import jax.numpy as jnp
+
+    from aind_smartspim_destripe_tpu.ops.pallas_hist import histogram256_batch
+
+    rng = np.random.default_rng(12)
+    for shape in ((2, 37, 301), (2, 50, 200)):  # wide-ragged and folded
+        x16 = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+        xf = x16.astype(np.float32)
+        lo = xf.min(axis=(1, 2))
+        span = np.maximum(xf.max(axis=(1, 2)) - lo, 1.0).astype(np.float32)
+        got = np.asarray(histogram256_batch(
+            jnp.asarray(x16), jnp.asarray(lo), jnp.asarray(span),
+            interpret=True,
+        ))
+        want = np.asarray(histogram256_batch(
+            jnp.asarray(xf), jnp.asarray(lo), jnp.asarray(span),
+            interpret=True,
+        ))
+        np.testing.assert_array_equal(got, want, err_msg=f"shape={shape}")
+        assert got.sum(axis=1).tolist() == [shape[1] * shape[2]] * shape[0]
+
+
+def test_threshold_otsu_batch_uint16_matches_f32(monkeypatch):
+    """threshold_otsu_batch on raw uint16 (integer range reduce + uncast
+    kernel ingest) must be bit-identical to the f32-cast call on both the
+    Pallas and the vmapped-XLA paths."""
+    monkeypatch.setenv("DESTRIPE_PALLAS_INTERPRET", "1")
+    rng = np.random.default_rng(13)
+    x16 = rng.integers(0, 5000, size=(3, 40, 260), dtype=np.uint16)
+    xf = jnp.asarray(x16.astype(np.float32))
+    for pallas in (True, False):
+        kw = {"pallas": pallas}
+        got = np.asarray(threshold_otsu_batch(jnp.asarray(x16), **kw))
+        want = np.asarray(threshold_otsu_batch(xf, **kw))
+        np.testing.assert_array_equal(got, want, err_msg=f"pallas={pallas}")
