@@ -40,7 +40,7 @@ def main(iters=24):
     base = np.clip(
         level + (rng.normal(size=(B, H, 1)) * 60) * np.ones((1, 1, W))
         + rng.normal(size=(B, H, W)) * 10, 0, 65535,
-    ).astype(np.float32)
+    ).astype(np.uint16)  # production device dtype (in-kernel ingest)
     imgs = jax.device_put(base)
 
     plan_d = _dual_plan(H, W, "db3", None, 256.0, 128.0, 12.0)

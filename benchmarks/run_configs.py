@@ -190,7 +190,11 @@ def config2():
 
     import jax.numpy as jnp
 
-    imgs = jax.device_put(_striped(64, 1600, 2000).astype(np.float32))
+    # Raw uint16, the production pipeline's device dtype: both steps ingest
+    # it in-kernel (K1 fuses the cast+log1p; the dual blend/Otsu kernels
+    # convert in-VMEM), so feeding f32 here would measure an HBM read the
+    # production path never pays.
+    imgs = jax.device_put(_striped(64, 1600, 2000))
 
     # Scan-chained device-resident loops (same scope discipline as bench.py):
     # the earlier _device_timer dispatch pattern paid one D2H round trip per
