@@ -20,7 +20,6 @@ reads each coefficient band once via a wrapped block index
 
 from __future__ import annotations
 
-import os
 from functools import lru_cache, partial
 from typing import Optional, Tuple
 
@@ -37,23 +36,6 @@ __all__ = [
     "dual_band_filtering",
     "dual_band_destripe_configs",
 ]
-
-
-def dual_corr_enabled() -> bool:
-    """Correction-form dual blend (DESTRIPE_DUAL_CORR, default pending the
-    on-chip A/B): the finest synthesis emits each band's bare
-    log-space correction ``c`` and the blend computes
-    ``(1 + x) * (exp(c_f) * sm + exp(c_b) * (1 - sm)) + 1`` — algebraically
-    equal to blending ``exp(log1p(x) + c) + 1`` bands (exp(log1p(x) + c) ==
-    (1 + x) * exp(c)), but the doubled K4 never reads the raw planes by
-    wrapped index (~820 MB/step at B=64) and never recomputes log1p per
-    band (~410 M evals); the blend kernel already holds x in VMEM for the
-    sigmoid. Rounding differs by ~2 ulp — covered by the float64 oracle
-    and cross-route gates, which run BOTH forms. The plane-batch and
-    Y-halo routes read this gate at the same call depth, so the two stay
-    on one formulation and the <= 1 LSB halo-vs-plane gate compares
-    like with like."""
-    return os.environ.get("DESTRIPE_DUAL_CORR", "0") == "1"
 
 
 def _smooth(img: jax.Array, radius: int = 8) -> jax.Array:
@@ -115,10 +97,7 @@ def dual_band_destripe_batch(
     # production geometry). Float callers keep the legacy cast.
     x = images if images.dtype == jnp.uint16 else images.astype(jnp.float32)
     b = x.shape[0]
-    corr_mode = dual_corr_enabled()
-    both = destripe_batch(
-        plan, images, -jnp.inf, consts, dual=True, dual_corr=corr_mode
-    )
+    both = destripe_batch(plan, images, -jnp.inf, consts, dual=True)
 
     # Pallas one-hot histogram on TPU (ops/pallas_hist.py); the vmapped
     # scalar fallback's broadcast-compare loop costs ~10x at this size
@@ -141,12 +120,11 @@ def dual_band_destripe_batch(
         and x.shape[-2] * x.shape[-1] >= 400_000
     ):
         return pallas_blend.blend_smooth_mix(
-            x, both, None, centers, float(crossover), corr_mode=corr_mode
+            x, both, None, centers, float(crossover)
         )
 
     return blend_bands_xla(
-        x, both[:b], both[b:], centers, crossover, smooth_radius,
-        corr_mode=corr_mode,
+        x, both[:b], both[b:], centers, crossover, smooth_radius
     )
 
 
@@ -157,25 +135,16 @@ def blend_bands_xla(
     centers: jax.Array,
     crossover,
     smooth_radius: int = 8,
-    corr_mode: bool = False,
 ) -> jax.Array:
     """The dual-band blend in its plain XLA formulation: per-plane sigmoid
     foreground fraction -> edge-replicated box smooth -> band mix. The ONE
     definition shared by the plane-batch fallback above and the row-sharded
     route (parallel/halo.dual_band_destripe_y_sharded, where GSPMD
     partitions it) — the two outputs are gated to <= 1 LSB of each other,
-    so the numerics must come from a single site.
-
-    ``corr_mode``: fore/back are the bands' log-space corrections (see
-    :func:`dual_corr_enabled`); the formula matches the fused kernel's
-    term order exactly."""
+    so the numerics must come from a single site."""
     x = x.astype(jnp.float32)  # uint16 callers: sigmoid math is float
     frac = 1.0 / (1.0 + jnp.exp(-(x - centers[:, None, None]) / crossover))
     frac = _smooth(frac, smooth_radius)
-    if corr_mode:
-        return (1.0 + x) * (
-            jnp.exp(fore) * frac + jnp.exp(back) * (1.0 - frac)
-        ) + 1.0
     return fore * frac + back * (1.0 - frac)
 
 

@@ -762,7 +762,6 @@ def destripe_batch(
     dark: Optional[jax.Array] = None,
     wrap: bool = False,
     dual: bool = False,
-    dual_corr: bool = False,
 ) -> jax.Array:
     """log-space wavelet-FFT destripe of a batch of planes; returns float32
     of the same shape. Jit with ``plan`` static (it is hashable) and, for
@@ -780,13 +779,7 @@ def destripe_batch(
     and only the notch products and delta synthesis double. Returns
     (2B, H, W) float32 — ``out[:B]`` filtered with ``plan.cells`` (the
     foreground band), ``out[B:]`` with ``plan.no_cells`` (background);
-    epilogues are disallowed (blend first, then correct).
-
-    ``dual_corr=True`` (dual only) returns the bands' bare log-space
-    CORRECTIONS ``c`` instead of the synthesized images ``exp(log1p(x) +
-    c) + 1`` — the finest synthesis pass then never reads the raw planes
-    or recomputes log1p per band; the blend applies ``(1 + x) * exp(c)``
-    itself (ops/dual_band.dual_corr_enabled)."""
+    epilogues are disallowed (blend first, then correct)."""
     if flat is not None and wrap:
         raise ValueError("flat-field and wrap epilogues are exclusive")
     if dual and (flat is not None or wrap):
@@ -794,8 +787,6 @@ def destripe_batch(
             "dual mode returns both float32 bands; blend them before "
             "applying a flat-field or wrap epilogue"
         )
-    if dual_corr and not dual:
-        raise ValueError("dual_corr is a dual-mode output form")
     flat, dark = normalize_flat_dark(plan.height, plan.width, flat, dark)
 
     def epilogue(y):
@@ -813,8 +804,6 @@ def destripe_batch(
 
     if plan.n_levels == 0:
         # Degenerate tiny-image case: wavedec2 returns [x] untouched.
-        if dual_corr:
-            return jnp.zeros((2 * x.shape[0],) + x.shape[1:], jnp.float32)
         out0 = epilogue(jnp.exp(xlog) + 1.0)
         return jnp.concatenate([out0, out0], axis=0) if dual else out0
 
@@ -1000,13 +989,6 @@ def destripe_batch(
                 )
                 continue
             # finest level: fused exp (+ output) epilogue
-            if dual_corr:
-                # correction-form dual: bare corr, no raw-plane read, no
-                # per-band log1p/exp — the blend applies (1 + x) * exp(c)
-                return pallas_band.syn_x_exp(
-                    stacked_y, None, bops["bk4"], bspec["k4"]["starts"],
-                    plan.width,
-                )
             fuse_flat = (
                 flat is not None
                 and flat.shape == (plan.height, plan.width)
@@ -1036,8 +1018,6 @@ def destripe_batch(
             "...iw,jw->...ij", stacked_y, jnp.asarray(syn_x_lo), precision=P
         )
 
-    if dual_corr:
-        return corr
     if dual:
         # both bands' corrections apply to the same log-space input
         xlog = jnp.concatenate([xlog, xlog], axis=0)

@@ -69,7 +69,6 @@ def blend_smooth_mix(
     rows_tile: int = 64,  # on-chip dual-step sweep 2026-08-19: 32 -> 54.74
     # ms, 48 -> 54.38, 64 -> 54.16 (optimum), 96 -> 54.21 (padded-input
     # kernel; the carry-scratch kernel re-swept flat within noise)
-    corr_mode: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """With ``back=None`` both band blocks are read from the one stacked
@@ -81,14 +80,6 @@ def blend_smooth_mix(
 
     With uint16 ``x`` the kernel converts in-VMEM (exact — the sigmoid sees
     identical f32 bits), halving the plane read vs a host-graph f32 cast.
-
-    ``corr_mode``: fore/back hold the bands' LOG-SPACE CORRECTIONS instead
-    of the synthesized images (destripe_batch(dual_corr=True)); the kernel
-    computes ``(1 + x) * (exp(fore) * sm + exp(back) * (1 - sm)) + 1`` —
-    algebraically equal to blending ``exp(log1p(x) + c) + 1`` bands, but
-    the finest synthesis pass never reads the raw planes or recomputes
-    log1p per band (see ops/dual_band.py for the traffic accounting). The
-    x tile rides the same carry scratch one step.
     """
     if rows_tile < 2 * RADIUS:
         raise ValueError(f"rows_tile must be >= {2 * RADIUS}")
@@ -112,7 +103,7 @@ def blend_smooth_mix(
             return s[:, :out_len] + v[:, K - 1 : K - 1 + out_len]
         return s[:out_len] + v[K - 1 : K - 1 + out_len]
 
-    def kernel(c_ref, x_ref, f_ref, b_ref, o_ref, rs_prev, tail8, *xprev):
+    def kernel(c_ref, x_ref, f_ref, b_ref, o_ref, rs_prev, tail8):
         b = pl.program_id(0)
         t = pl.program_id(1)
         c = c_ref[b]
@@ -121,8 +112,7 @@ def blend_smooth_mix(
         # boundary columns in-VMEM (pad-frac == sigmoid-of-padded-x), then
         # the 17-tap tree along lanes. At t == n_rt the x block index is
         # clamped (re-resident, no refetch) and rs is dead — see head8.
-        xf = _load_f32(x_ref[0])
-        frac = 1.0 / (1.0 + jnp.exp(-(xf - c) * inv_cross))
+        frac = 1.0 / (1.0 + jnp.exp(-(_load_f32(x_ref[0]) - c) * inv_cross))
         frac = jnp.concatenate(
             [
                 jnp.broadcast_to(frac[:, :1], (rt, RADIUS)),
@@ -159,27 +149,18 @@ def blend_smooth_mix(
             )
             win = jnp.concatenate([tail8[:], rs_prev[:], head8], axis=0)
             sm = box17(win, 0, rt) * inv_k2  # cols pass (sublanes)
-            if corr_mode:
-                o_ref[0] = (1.0 + xprev[0][:]) * (
-                    jnp.exp(f_ref[0]) * sm + jnp.exp(b_ref[0]) * (1.0 - sm)
-                ) + 1.0
-            else:
-                o_ref[0] = f_ref[0] * sm + b_ref[0] * (1.0 - sm)
+            o_ref[0] = f_ref[0] * sm + b_ref[0] * (1.0 - sm)
 
         @pl.when(t == 0)
         def _init():
             # rows [-8, 0) of the box input = top edge replication
             tail8[:] = jnp.broadcast_to(rs[:1], (RADIUS, W))
             rs_prev[:] = rs
-            if corr_mode:
-                xprev[0][:] = xf
 
         @pl.when((t > 0) & (t < n_rt))
         def _carry():
             tail8[:] = rs_prev[rt - RADIUS :]
             rs_prev[:] = rs
-            if corr_mode:
-                xprev[0][:] = xf
 
     clamp_x = lambda b, t, c: (b, jnp.minimum(t, n_rt - 1), 0)  # noqa: E731
     prev = lambda t: jnp.maximum(t - 1, 0)  # noqa: E731
@@ -211,7 +192,7 @@ def blend_smooth_mix(
             scratch_shapes=[
                 pltpu.VMEM((rt, W), jnp.float32),
                 pltpu.VMEM((RADIUS, W), jnp.float32),
-            ] + ([pltpu.VMEM((rt, W), jnp.float32)] if corr_mode else []),
+            ],
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.float32),
         interpret=pallas_env.interpret_default(interpret),

@@ -601,7 +601,6 @@ def destripe_y_sharded(
     wrap: bool = False,
     banded_x_min_w: Optional[int] = None,
     dual: bool = False,
-    dual_corr: bool = False,
 ) -> jax.Array:
     """Full-semantics destripe with the ROW axis sharded over the mesh
     (reference filtering.py:139-224): per-plane float16-sigmoid classifier,
@@ -644,8 +643,6 @@ def destripe_y_sharded(
             "dual mode returns both float32 bands; blend them before "
             "applying a flat-field or wrap epilogue"
         )
-    if dual_corr and not dual:
-        raise ValueError("dual_corr is a dual-mode output form")
     if consts is None:
         if banded_x_min_w is None:
             banded_x_min_w = banded_x_min_w_default()
@@ -682,8 +679,6 @@ def destripe_y_sharded(
     xf = x.astype(jnp.float32)
     B0 = x.shape[0]
     if plan.n_levels == 0:
-        if dual_corr:
-            return jnp.zeros((2 * B0,) + x.shape[1:], jnp.float32)
         out0 = jnp.exp(jnp.log(1.0 + xf)) + 1.0
         if dual:
             out0 = jnp.concatenate([out0, out0], axis=0)
@@ -872,13 +867,6 @@ def destripe_y_sharded(
                 st_p = _pad_rows_mult(stacked, D_mesh)
                 blocks4 = halo_arrays["xk4"][str(i)]
                 if i == fin and fuse_io:
-                    if dual_corr:
-                        # correction-form dual: bare corr (no raw-plane
-                        # wrapped read, no per-band log1p/exp) — the blend
-                        # applies (1 + x) * exp(c)
-                        corr = _k4_sharded(st_p, None, blocks4, xk4, mesh,
-                                           axis)
-                        return corr[:, : plan.height]
                     imgs_p = _pad_rows_mult(x, D_mesh)
                     if flat is not None:
                         # pad flat with ones / dark with zeros: the pad
@@ -918,8 +906,6 @@ def destripe_y_sharded(
                     "biw,jw->bij", stacked, jnp.asarray(syn_x_lo),
                     precision=P_,
                 )
-        if dual_corr:
-            return corr
         if dual:
             # both bands' corrections apply to the same log-space input
             xlog = jnp.concatenate([xlog, xlog], axis=0)
@@ -974,14 +960,9 @@ def dual_band_destripe_y_sharded(
 
     b = x.shape[0]
     xf = x.astype(jnp.float32)
-    # same formulation gate as the plane-batch route (read at the same
-    # depth so the <= 1 LSB halo-vs-plane gate compares like with like)
-    from ..ops.dual_band import dual_corr_enabled
-
-    corr_mode = dual_corr_enabled()
     both = destripe_y_sharded(
         x, mesh, plan, consts, halo_arrays, halo_static, axis=axis,
-        banded_x_min_w=banded_x_min_w, dual=True, dual_corr=corr_mode,
+        banded_x_min_w=banded_x_min_w, dual=True,
     )
     fore, back = both[:b], both[b:]
 
@@ -1005,8 +986,7 @@ def dual_band_destripe_y_sharded(
             jnp.full_like(otsu_centers, threshold),
         )
     blended = blend_bands_xla(
-        xf, fore, back, centers, crossover, smooth_radius,
-        corr_mode=corr_mode,
+        xf, fore, back, centers, crossover, smooth_radius
     )
 
     if flat is not None:

@@ -144,19 +144,15 @@ def test_pallas_blend_stacked_pair_bitexact():
         )
 
 
-@pytest.mark.parametrize("dual_corr", ["0", "1"])
-def test_dual_band_fused_blend_wiring(monkeypatch, dual_corr):
+def test_dual_band_fused_blend_wiring(monkeypatch):
     """dual_band_destripe_batch dispatches to the fused blend kernel above
-    the size gate; its output must match the XLA formulation end to end —
-    in both the band form and the correction form (DESTRIPE_DUAL_CORR)."""
+    the size gate; its output must match the XLA formulation end to end."""
     import os
 
     import jax.numpy as jnp
 
     from aind_smartspim_destripe_tpu.ops.dual_band import dual_band_destripe_batch
     from aind_smartspim_destripe_tpu.ops.filter import build_plan, FilterConfig
-
-    monkeypatch.setenv("DESTRIPE_DUAL_CORR", dual_corr)
 
     h, w = 560, 720  # >= band gate per side, h*w >= 400k (blend gate)
     plan = build_plan(
@@ -182,57 +178,7 @@ def test_dual_band_fused_blend_wiring(monkeypatch, dual_corr):
     assert psnr >= 60.0, f"fused-blend dual PSNR {psnr:.1f} dB < 60"
 
 
-@pytest.mark.parametrize("dual_corr", ["0", "1"])
-def test_dual_corr_form_matches_band_form(monkeypatch, dual_corr):
-    """The correction-form dual step ((1+x)*exp(c), DESTRIPE_DUAL_CORR=1)
-    is algebraically equal to blending exp(log1p(x)+c)+1 bands; the two
-    forms must agree to formulation rounding (~2 ulp relative) and round
-    to <= 1 uint16 LSB apart — on the Pallas path and the XLA fallback."""
-    import jax.numpy as jnp
-
-    from aind_smartspim_destripe_tpu.ops.dual_band import (
-        _dual_plan, dual_band_destripe_batch,
-    )
-
-    h, w = 560, 720  # above the band + blend size gates
-    rng = np.random.default_rng(23)
-    x16 = np.clip(
-        400 + (rng.normal(size=(1, h, 1)) * 60) * np.ones((1, 1, w))
-        + rng.normal(size=(1, h, w)) * 10, 0, 65535,
-    ).astype(np.uint16)
-    plan = _dual_plan(h, w, "db3", None, 256.0, 128.0, 12.0)
-    consts = plan.constants()
-    if dual_corr == "1":
-        monkeypatch.setenv("DESTRIPE_PALLAS_INTERPRET", "1")
-    else:
-        monkeypatch.setenv("DESTRIPE_NO_PALLAS", "1")
-    outs = {}
-    for mode in ("0", "1"):
-        monkeypatch.setenv("DESTRIPE_DUAL_CORR", mode)
-        outs[mode] = np.asarray(dual_band_destripe_batch(
-            plan, jnp.asarray(x16), 100.0, -1.0, consts=consts))
-    np.testing.assert_allclose(outs["1"], outs["0"], rtol=1e-5, atol=0.05)
-    d = (np.clip(outs["1"], 0, 65535).astype(np.uint16).astype(np.int32)
-         - np.clip(outs["0"], 0, 65535).astype(np.uint16).astype(np.int32))
-    assert np.abs(d).max() <= 1 and (d != 0).mean() < 1e-3
-
-
-def test_dual_corr_requires_dual():
-    import jax.numpy as jnp
-
-    from aind_smartspim_destripe_tpu.ops.dual_band import _dual_plan
-    from aind_smartspim_destripe_tpu.ops.filter import destripe_batch
-
-    plan = _dual_plan(96, 128, "db3", None, 256.0, 128.0, 12.0)
-    with pytest.raises(ValueError, match="dual_corr"):
-        destripe_batch(
-            plan, jnp.zeros((1, 96, 128), jnp.float32), dual_corr=True
-        )
-
-
-@pytest.mark.parametrize("dual_corr", ["0", "1"])
-def test_dual_band_matches_independent_float64_oracle(monkeypatch, dual_corr):
-    monkeypatch.setenv("DESTRIPE_DUAL_CORR", dual_corr)
+def test_dual_band_matches_independent_float64_oracle():
     """Independent end-to-end oracle for config 2: compose the dual output
     in float64 numpy from the golden single-band filter
     (G.log_space_fft_filtering_ref per config), the golden per-plane Otsu
@@ -309,9 +255,8 @@ def test_pallas_blend_uint16_ingest_bitexact():
     np.testing.assert_array_equal(u16, f32)
 
 
-@pytest.mark.parametrize("dual_corr", ["0", "1"])
 @pytest.mark.parametrize("no_pallas", [False, True])
-def test_dual_band_uint16_input_bitexact(monkeypatch, no_pallas, dual_corr):
+def test_dual_band_uint16_input_bitexact(monkeypatch, no_pallas):
     """The full dual step fed raw uint16 (the production pipeline's dtype)
     must reproduce the f32-fed output bit-for-bit on BOTH the fused-kernel
     path (in-VMEM conversion) and the XLA fallback (cast in blend_bands_xla
@@ -322,7 +267,6 @@ def test_dual_band_uint16_input_bitexact(monkeypatch, no_pallas, dual_corr):
         _dual_plan, dual_band_destripe_batch,
     )
 
-    monkeypatch.setenv("DESTRIPE_DUAL_CORR", dual_corr)
     if no_pallas:
         monkeypatch.setenv("DESTRIPE_NO_PALLAS", "1")
     else:

@@ -260,18 +260,13 @@ def test_destripe_y_sharded_banded_x_matches_dense_x():
         os.environ.pop("DESTRIPE_NO_PALLAS", None)
 
 
-@pytest.mark.parametrize("dual_corr", ["0", "1"])
-def test_dual_band_y_sharded_matches_unsharded(monkeypatch, dual_corr):
+def test_dual_band_y_sharded_matches_unsharded():
     """Dual-band (BASELINE config 2) on the row-sharded layout must match
     the unsharded dual step: both bands from one decomposition, shared
     per-plane Otsu, sigmoid blend + box smooth (GSPMD-partitioned), wrap
-    epilogue on the blended plane. Both blend formulations (band form and
-    the DESTRIPE_DUAL_CORR correction form) take the sharded route through
-    the same gate as the plane-batch route, so each compares like with
-    like."""
+    epilogue on the blended plane."""
     import os
 
-    monkeypatch.setenv("DESTRIPE_DUAL_CORR", dual_corr)
     mesh = _mesh()
     os.environ["DESTRIPE_NO_PALLAS"] = "1"
     try:
