@@ -16,6 +16,15 @@ inpainting statistics once per plane and doubles only the per-plane notch
 products and the delta synthesis (ops/filter.py); the fused notch kernel
 reads each coefficient band once via a wrapped block index
 (ops/pallas_notch.py). The blend is a fused elementwise pass.
+
+Do NOT rebuild the correction-form blend (synthesis emitting bare
+log-space corrections c, blend computing (1+x)*(exp(c_f)*sm +
+exp(c_b)*(1-sm))+1 to skip K4's wrapped raw-plane read): built, gated
+<= 1 LSB, and REVERTED after losing the on-chip alternating A/B twice
+(41.46/41.40 ms band vs 41.70/41.58 ms corr at B=64 production geometry
+— the wrapped read overlaps compute; the corr blend's two full-plane
+exps sit on the blend kernel's VPU critical path). ROADMAP round-5
+session 4; the full implementation is at commit 578e251.
 """
 
 from __future__ import annotations
