@@ -23,7 +23,7 @@ import numpy as np
 import trace_sum  # noqa: E402  (benchmarks/ sibling)
 
 
-def main(W=8192, B=4, iters=16):
+def main(W=8192, B=4, iters=16, rows=40):
     import jax
     import jax.numpy as jnp
 
@@ -85,13 +85,13 @@ def main(W=8192, B=4, iters=16):
     if not pbs:
         print(f"no xplane.pb under {trace_dir}")
         return
-    for name, agg, cnt in trace_sum.summarize(pbs[-1], iters, 40):
+    for name, agg, cnt in trace_sum.summarize(pbs[-1], iters, rows):
         if "TPU" not in name and "tpu" not in name.lower():
             continue
         tot = sum(agg.values())
         print(f"== plane {name}: {tot:.2f} ms/step device op time")
-        for nm, msv in agg.most_common(40):
-            print(f"  {msv:8.3f} ms x{cnt[nm] // max(iters, 1):<4} {nm[:100]}")
+        for nm, msv in agg.most_common(rows):
+            print(f"  {msv:8.3f} ms x{cnt[nm] // max(iters, 1):<4} {nm[:140]}")
 
 
 if __name__ == "__main__":
