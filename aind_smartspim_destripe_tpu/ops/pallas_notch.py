@@ -30,6 +30,7 @@ destripe golden gate (60 dB, measured 86-103 dB) covers it end to end.
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
@@ -44,7 +45,12 @@ from . import pallas_env
 from .pallas_band import _dot3, _split_bf16, split_bf16_np
 from .pallas_median import _keys_to_float, _kth_smallest, _sortable_keys
 
-__all__ = ["available", "stacked_notch_operators", "notch_delta"]
+__all__ = [
+    "available",
+    "stacked_notch_operators",
+    "notch_delta",
+    "notch_select_chunked",
+]
 
 
 def available() -> bool:
@@ -205,3 +211,110 @@ def notch_delta(
         out_shape=jax.ShapeDtypeStruct((n_out, h, w), jnp.float32),
         interpret=pallas_env.interpret_default(interpret),
     )(sel_idx.astype(jnp.int32), thr.astype(jnp.float32), *ins)
+
+
+def _chunk_tiles(wp: int) -> Tuple[int, int]:
+    """(col_tile, rows_tile) for :func:`notch_select_chunked` from a
+    scoped-VMEM budget. Column chunks are maximized FIRST: with the grid
+    ordered (plane, col chunk, row tile) the operator streams through HBM
+    exactly once per plane while the input band re-streams once per column
+    chunk, so fewer/wider chunks directly cut the only redundant traffic
+    (band bytes << operator bytes at halo widths). Rows come second (MXU
+    shape/dispatch efficiency only). The budget counts the double-buffered
+    input/operator/output blocks plus the kernel's in-VMEM temporaries
+    (the lane-masked f32 copy and the bf16 hi/lo pair of the input
+    block)."""
+    budget = int(
+        os.environ.get("DESTRIPE_NOTCH_CHUNK_VMEM", str(13 * 2**20))
+    )
+    for ct in (512, 384, 256, 128):
+        for rt in (256, 192, 128, 64, 32):
+            need = (
+                2 * rt * wp * 4  # input blocks (double-buffered)
+                + 2 * 2 * wp * ct * 2  # operator hi+lo bf16 blocks
+                + 2 * rt * ct * 4  # output blocks
+                + rt * wp * 4  # masked f32 copy
+                + rt * wp * 2 * 2  # bf16 hi/lo split pair
+            )
+            if need <= budget:
+                return ct, rt
+    return 128, 32  # pathological width: smallest tiles, let Mosaic judge
+
+
+def notch_select_chunked(
+    x: jax.Array,  # (B, h, w) f32 inpainted band
+    sel_idx: jax.Array,  # (B,) int32: 0 = cells operator, 1 = no-cells
+    op_blocks: Tuple[jax.Array, jax.Array],  # (hi, lo) bf16 (2, wp, wp)
+    rows_tile: Optional[int] = None,
+    col_tile: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-plane-selected notch product ``x @ op[sel[b]]`` with the
+    operator CHUNKED over output columns — the halo-width form of the
+    per-plane selection that :func:`notch_delta` keeps resident (a 16 MiB
+    scoped-VMEM operator bank stops fitting past w ~ 1.4k; a W=8192 plane's
+    finest band needs ~68 MB). Returns (B, h, w) float32.
+
+    Same structural win as the resident kernel: each plane multiplies only
+    its own operator (scalar-prefetch bank index), half the MXU FLOPs and
+    half the operator HBM traffic of the dense compute-both-bands matmul
+    (parallel/halo.py's fallback, measured 3.77 ms of the 16.56 ms W=8192
+    B=4 halo step). The mask/inpaint/delta element-wise chain stays in XLA:
+    recomputing it per column chunk would pay n_chunks VPU passes for the
+    one fused pass XLA already emits.
+
+    Numerics: the same host-split bf16 hi/lo 3-dot accumulation
+    (== lax.Precision.HIGH) as every banded kernel; output tiles are each
+    ONE full-contraction dot, so results are bit-identical across any
+    (rows_tile, col_tile) choice (no accumulation splits)."""
+    B, h, w = x.shape
+    oph, opl = op_blocks
+    wp = oph.shape[-1]
+    if rows_tile is None or col_tile is None:
+        ct0, rt0 = _chunk_tiles(wp)
+        # clamp to the (lane/sublane-rounded) band extents: a tile wider
+        # than the whole band just pads the block for nothing
+        col_tile = col_tile or min(ct0, wp)
+        rows_tile = rows_tile or min(rt0, _cdiv(h, 8) * 8)
+    n_rt = _cdiv(h, rows_tile)
+    n_c = _cdiv(w, col_tile)
+
+    def kernel(sel_ref, oph_ref, opl_ref, x_ref, o_ref):
+        xb = x_ref[0]  # (rows_tile, wp)
+        if w < wp:
+            # zero the block-padding lanes: OOB reads are unspecified and
+            # the operator's zero pad rows only absorb FINITE garbage
+            lane = jax.lax.broadcasted_iota(jnp.int32, xb.shape, 1)
+            xb = jnp.where(lane < w, xb, 0.0)
+        xh, xl = _split_bf16(xb)
+        o_ref[0] = _dot3(xh, xl, oph_ref[0], opl_ref[0], ((1,), (0,)))
+
+    op_spec = pl.BlockSpec(
+        (1, wp, col_tile),
+        lambda b, c, t, sel_ref: (sel_ref[b], 0, c),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        # plane outermost (operator bank fixed per plane), column chunks
+        # middle, row tiles innermost: the operator chunk is revisited
+        # across all row tiles (one stream per plane) and the input block
+        # re-fetches per (chunk, tile) — the cheaper of the two re-reads
+        grid=(B, n_c, n_rt),
+        in_specs=[
+            op_spec,
+            op_spec,
+            pl.BlockSpec((1, rows_tile, wp),
+                         lambda b, c, t, sel_ref: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows_tile, col_tile),
+                               lambda b, c, t, sel_ref: (b, t, c),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, h, w), jnp.float32),
+        interpret=pallas_env.interpret_default(interpret),
+    )(sel_idx.astype(jnp.int32), oph, opl, x)

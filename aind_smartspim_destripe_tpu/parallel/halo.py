@@ -366,7 +366,8 @@ def _plan_x_blocks(plan: DestripePlan):
 
 
 def halo_constants(plan: DestripePlan, n_devices: int,
-                   x_blocks: Optional[bool] = None):
+                   x_blocks: Optional[bool] = None,
+                   notch_blocks: Optional[bool] = None):
     """Host-side shard planning for :func:`destripe_y_sharded` at one
     geometry/mesh size: per level, the OpShards of the analysis y lo/hi and
     synthesis y lo/hi operators. With ``x_blocks`` (default: auto — when
@@ -431,6 +432,48 @@ def halo_constants(plan: DestripePlan, n_devices: int,
         if a4:
             arrays["xk4"] = {str(k): v for k, v in a4.items()}
             static["xk4"] = s4
+        # Stacked per-plane-selectable notch operator banks for the chunked
+        # scalar-prefetch kernel (ops/pallas_notch.notch_select_chunked):
+        # HALF the notch FLOPs + operator traffic of the dense
+        # compute-both-bands matmul — the single largest sync op of the
+        # halo step (3.77 ms of 16.56 at W=8192 B=4, ROADMAP round-5
+        # session 5). Built per coarsest-first level where the band clears
+        # the Pallas pay-off gate AND the level is below the dense-x memory
+        # gate (width-gated levels keep the spectral notch: the stacked
+        # bank costs the same O(w^2) HBM bytes the gate exists to bound).
+        # Dual mode never reads these (its static band split already
+        # multiplies one operator per half) — dual callers pass
+        # ``notch_blocks=False`` so the banks don't ride device memory.
+        if notch_blocks is None:
+            notch_blocks = True
+        from ..ops import pallas_notch
+
+        gate = banded_x_min_w_default()
+        wav_n = W.wavelet(plan.wavelet)
+        w_in = []
+        w_cur = plan.width
+        for _ in range(plan.n_levels):
+            w_in.append(w_cur)
+            w_cur = W.dwt_coeff_len(w_cur, wav_n.flen)
+        skip = [
+            not (
+                notch_blocks
+                and lh * lw >= _PALLAS_MIN_PX
+                and w_in[plan.n_levels - 1 - i] < gate
+            )
+            for i, (lh, lw) in enumerate(plan.ladder)
+        ]
+        if not all(skip):
+            nb_arrays, nb_static = {}, {}
+            for i, pair in enumerate(plan.notch_matrices(skip=skip)):
+                if pair is None:
+                    continue
+                nb_arrays[str(i)] = pallas_notch.stacked_notch_operators(
+                    *pair
+                )
+                nb_static[i] = {"w": plan.ladder[i][1]}
+            arrays["notch"] = nb_arrays
+            static["notch"] = nb_static
     return arrays, static
 
 
@@ -439,6 +482,54 @@ def _apply_planned(x, arrs, meta, mesh, axis):
     if x.shape[1] != n_pad:
         x = jnp.pad(x, [(0, 0), (0, n_pad - x.shape[1]), (0, 0)])
     return _apply_shards(x, OpShards(*arrs), meta["halo"], mesh, axis)
+
+
+def _apply_planned_pair(x, arrs, meta, mesh, axis):
+    """The analysis lo/hi y-passes consume the SAME input rows, so one
+    halo exchange serves both: a single ppermute pair and ONE assembled
+    window (the concatenate materializes a full copy of the local shard —
+    the dominant per-pass HBM cost at halo geometry) feed two operator
+    matmuls. Bit-identical to two :func:`_apply_shards` calls: the shared
+    halo is the max of the two plans' halos, and each operator still
+    dynamic-slices its own exact window out of the assembled rows.
+    Returns ``(lo, hi)``."""
+    n_pad = meta["an_lo"]["n_pad"]
+    if x.shape[1] != n_pad:
+        x = jnp.pad(x, [(0, 0), (0, n_pad - x.shape[1]), (0, 0)])
+    sh_lo = OpShards(*arrs["an_lo"])
+    sh_hi = OpShards(*arrs["an_hi"])
+    halo = max(meta["an_lo"]["halo"], meta["an_hi"]["halo"])
+    D = mesh.shape[axis]
+    Nq = x.shape[1] // D
+    fwd = [(i, (i + 1) % D) for i in range(D)]
+    bwd = [(i, (i - 1) % D) for i in range(D)]
+
+    def local(xl, lo_op, lo_c0, hi_op, hi_c0):
+        d = jax.lax.axis_index(axis)
+        top = jax.lax.ppermute(xl[:, -halo:, :], axis, fwd)
+        bot = jax.lax.ppermute(xl[:, :halo, :], axis, bwd)
+        assembled = jnp.concatenate([top, xl, bot], axis=1)
+        base = d * Nq - halo
+        outs = []
+        for op_l, c0_l in ((lo_op, lo_c0), (hi_op, hi_c0)):
+            win = jax.lax.dynamic_slice_in_dim(
+                assembled, c0_l[0] - base, op_l.shape[-1], 1
+            )
+            outs.append(jnp.einsum(
+                "rw,bwx->brx", op_l[0], win, precision=W._PRECISION
+            ))
+        return tuple(outs)
+
+    lo, hi = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis, None), P(axis, None, None), P(axis),
+                  P(axis, None, None), P(axis)),
+        out_specs=(P(None, axis, None), P(None, axis, None)),
+        check_vma=False,
+    )(x, jnp.asarray(sh_lo.slices), jnp.asarray(sh_lo.c0s),
+      jnp.asarray(sh_hi.slices), jnp.asarray(sh_hi.c0s))
+    return (lo[:, jnp.asarray(sh_lo.row_idx)],
+            hi[:, jnp.asarray(sh_hi.row_idx)])
 
 
 # ---------------------------------------------------------------------------
@@ -563,6 +654,33 @@ def _otsu_sharded(ch: jax.Array, mesh: Mesh, axis: str,
         local, mesh=mesh, in_specs=(P(None, axis, None),),
         out_specs=P(), check_vma=False,
     )(ch_p)
+
+
+def _notch_sharded(inpainted: jax.Array, sel_idx: jax.Array, blocks,
+                   mesh: Mesh, axis: str) -> jax.Array:
+    """Row-sharded per-plane-selected notch product
+    (pallas_notch.notch_select_chunked): the contraction is over lanes, so
+    shards need no collectives; mesh-divisibility pad rows map to garbage
+    output rows that are cropped here. Each plane multiplies only its own
+    operator bank (scalar-prefetch selection) — half the MXU FLOPs and
+    operator HBM traffic of the dense compute-both-bands matmul this
+    replaces."""
+    from ..ops import pallas_notch
+
+    bh, bl = jnp.asarray(blocks[0]), jnp.asarray(blocks[1])
+    D = mesh.shape[axis]
+    rows = inpainted.shape[1]
+    x_p = _pad_rows_mult(inpainted, D)
+
+    def local(xl, bhl, bll, sel_l):
+        return pallas_notch.notch_select_chunked(xl, sel_l, (bhl, bll))
+
+    out = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis, None), P(), P(), P()),
+        out_specs=P(None, axis, None), check_vma=False,
+    )(x_p, bh, bl, sel_idx)
+    return out[:, :rows]
 
 
 def _median_sharded(ch: jax.Array, thr: jax.Array, mesh: Mesh,
@@ -739,8 +857,17 @@ def destripe_y_sharded(
                 lox_w = jnp.einsum(
                     "bhw,jw->bhj", a, jnp.asarray(an_x_lo), precision=P_
                 )
-            chs.append(y_apply(lox_w, lvl, "an_hi"))
-            a = y_apply(lox_w, lvl, "an_lo")
+            meta_y = halo_static.get(lvl)
+            if meta_y is not None:
+                # sharded level: ONE halo exchange + assembled window
+                # serves both analysis y-passes (bit-identical to two)
+                a, hi_b = _apply_planned_pair(
+                    lox_w, halo_arrays[str(lvl)], meta_y, mesh, axis
+                )
+                chs.append(hi_b)
+            else:
+                chs.append(y_apply(lox_w, lvl, "an_hi"))
+                a = y_apply(lox_w, lvl, "an_lo")
 
         # filter every cH band, coarsest first. On the Pallas tier the
         # per-plane Otsu runs as psum'd shard-local Pallas histograms and
@@ -754,6 +881,10 @@ def destripe_y_sharded(
         sigmas = plan.notch_sigmas()
         deltas = []
         HI = jax.lax.Precision.HIGH  # _filter_level's notch precision
+        # per-plane-selected chunked notch banks (single-band only: the
+        # dual path's static band split already multiplies one operator
+        # per half). Keyed by the same coarsest-first level index j.
+        nb_group = (halo_arrays.get("notch") or {}) if use_px else {}
         for j, (ch, bm_cat) in enumerate(
             zip(reversed(chs), consts["notch_cat"])
         ):
@@ -799,7 +930,14 @@ def destripe_y_sharded(
                 # sqrt(ch*ch), not |ch|: the reference's rounded compare
                 stripes = jnp.sqrt(ch * ch) > threshold[:, None, None]
                 inpainted = jnp.where(stripes, med, ch)
-                if bm_dev is None:
+                if not dual and str(j) in nb_group:
+                    # chunked per-plane operator selection (half the notch
+                    # FLOPs of the dense both-bands product below)
+                    sel = jnp.where(is_cells, 0, 1).astype(jnp.int32)
+                    filtered = _notch_sharded(
+                        inpainted, sel, nb_group[str(j)], mesh, axis
+                    )
+                elif bm_dev is None:
                     both = notch_apply(inpainted)
                     filtered = jnp.where(
                         is_cells[:, None, None],

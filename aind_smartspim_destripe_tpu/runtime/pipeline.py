@@ -226,7 +226,9 @@ def _make_halo_step(plan, microscope_high_int, with_flatfield, devices,
     dense = plan.constants(
         dense_only=True, banded_x_min_w=banded_x_min_w_default()
     )
-    halo_arrays, halo_static = halo_constants(plan, n_dev)
+    halo_arrays, halo_static = halo_constants(
+        plan, n_dev, notch_blocks=not dual
+    )
     # The per-shard Pallas tier replaces the dense x matmuls wherever its
     # blocked K1/K4 operators exist — drop those dense operators from the
     # device constants (at 16k widths they are ~0.5 GB EACH of HBM). The
@@ -243,6 +245,25 @@ def _make_halo_step(plan, microscope_high_int, with_flatfield, devices,
         for i in halo_static["xk4"]:
             syn_x[i] = None
         dense["syn_x_lo"] = tuple(syn_x)
+    # Likewise the dense compute-both-bands notch operators superseded by
+    # the per-plane-selected chunked banks (halo_arrays["notch"], ~same
+    # bytes as the dense cat they replace — keeping both would double the
+    # dominant HBM constant). Single-band only: the dual step's static
+    # band split multiplies the dense cat half-per-half already. Under
+    # DESTRIPE_HALO_PALLAS=0 these levels then run the spectral notch (the
+    # documented banded/spectral fallback, like the dropped x operators).
+    # Interpret-mode (CI) runs KEEP the cat: geometries there are tiny and
+    # the kill-switch twin then compares against the dense formulation —
+    # XLA's CPU fft thunk also RET_CHECKs on the sharded production
+    # layout (fft_thunk.cc IsMonotonicWithDim0Major), so the spectral
+    # fallback is TPU-only in practice.
+    from ..ops.pallas_env import interpret_forced
+
+    if not dual and "notch" in halo_static and not interpret_forced():
+        cat = list(dense["notch_cat"])
+        for i in halo_static["notch"]:
+            cat[i] = None
+        dense["notch_cat"] = tuple(cat)
     consts = jax.device_put(dense, rep)
     harrs = jax.device_put(halo_arrays, rep)
 

@@ -49,10 +49,19 @@ def run(widths, B=4, H=1600, iters=12):
             + rng.normal(size=(B, H, W_)) * 10, 0, 65535,
         ).astype(np.uint16)
         dev = jax.device_put(img)
-        harrs, hstatic = halo_constants(plan, 1, x_blocks=True)
-        harrs = jax.device_put(harrs)
         res = {}
-        for tag, gate in (("dense-notch", 1 << 30), ("fft-notch", 1)):
+        # sel-notch: the chunked per-plane-selected Pallas banks (half the
+        # dense form's notch FLOPs); dense-notch: the compute-both-bands
+        # XLA matmul; fft-notch: the spectral form (memory-gate fallback)
+        for tag, gate, nb in (
+            ("sel-notch", 1 << 30, True),
+            ("dense-notch", 1 << 30, False),
+            ("fft-notch", 1, False),
+        ):
+            harrs, hstatic = halo_constants(
+                plan, 1, x_blocks=True, notch_blocks=nb
+            )
+            harrs = jax.device_put(harrs)
             consts = jax.device_put(
                 plan.constants(dense_only=True, banded_x_min_w=gate)
             )
@@ -86,9 +95,12 @@ def run(widths, B=4, H=1600, iters=12):
                 res[tag] = None
                 print(f"W={W_} {tag}: FAILED ({type(e).__name__}: "
                       f"{str(e).splitlines()[0][:120]})", flush=True)
-        d, f = res.get("dense-notch"), res.get("fft-notch")
+        d, f, s = (res.get("dense-notch"), res.get("fft-notch"),
+                   res.get("sel-notch"))
         if d and f:
             print(f"W={W_}: fft/dense = {f / d:.2f}x", flush=True)
+        if d and s:
+            print(f"W={W_}: sel/dense = {s / d:.2f}x", flush=True)
 
 
 if __name__ == "__main__":

@@ -297,3 +297,52 @@ def test_median_sharded_exact(monkeypatch):
                                      mesh, "z"))
     want = np.asarray(row_median_masked(jnp.asarray(ch), jnp.asarray(thr)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_notch_banks_planned_and_used():
+    """halo_constants builds the stacked per-plane-selectable notch banks
+    for levels above the Pallas pay-off gate (and only there), and the
+    dual-mode builder contract (notch_blocks=False) drops the group."""
+    os.environ["DESTRIPE_PALLAS_INTERPRET"] = "1"
+    try:
+        plan = _plan()
+        harrs, hstatic = halo_constants(plan, 4)
+        fin = plan.n_levels - 1  # finest band 162x322 = 52 kpx > gate
+        assert "notch" in hstatic and fin in hstatic["notch"]
+        hi, lo = harrs["notch"][str(fin)]
+        wp = -(-plan.ladder[fin][1] // 128) * 128
+        assert hi.shape == (2, wp, wp) and lo.shape == (2, wp, wp)
+        # coarser levels sit below the pay-off gate: no banks built
+        assert 0 not in hstatic["notch"]
+        _, h2 = halo_constants(plan, 4, notch_blocks=False)
+        assert "notch" not in h2
+    finally:
+        os.environ.pop("DESTRIPE_PALLAS_INTERPRET", None)
+
+
+def test_notch_sharded_matches_dense(monkeypatch):
+    """Row-sharded chunked per-plane notch product == the per-plane dense
+    matmul, on ragged rows (162 % 8 != 0 exercises the pad->crop path)."""
+    mesh = _mesh()
+    monkeypatch.setenv("DESTRIPE_PALLAS_INTERPRET", "1")
+    from aind_smartspim_destripe_tpu.ops import fft_notch
+    from aind_smartspim_destripe_tpu.ops import pallas_notch as pn
+    from aind_smartspim_destripe_tpu.parallel.halo import _notch_sharded
+
+    rng = np.random.default_rng(11)
+    B, h, w = 2, 162, 322
+    ch = (rng.normal(size=(B, h, w)) * 3.0).astype(np.float32)
+    bc = fft_notch.packed_notch_matrix(w, 12.0).astype(np.float32)
+    bn = fft_notch.packed_notch_matrix(w, 40.0).astype(np.float32)
+    sel = np.array([0, 1], np.int32)
+    blocks = pn.stacked_notch_operators(bc, bn)
+    got = np.asarray(_notch_sharded(
+        jnp.asarray(ch), jnp.asarray(sel), blocks, mesh, "z"
+    ))
+    want = np.stack([
+        ch[b].astype(np.float64)
+        @ (bc if sel[b] == 0 else bn).astype(np.float64).T
+        for b in range(B)
+    ])
+    assert got.shape == ch.shape
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

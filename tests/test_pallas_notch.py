@@ -92,3 +92,56 @@ def test_notch_delta_matches_dense(case):
     # masked (stripe) pixels must be exactly zero, not approximately
     stripes = np.abs(ch) > thr[:, None, None]
     assert np.all(np.asarray(got)[stripes] == 0.0)
+
+
+def test_notch_select_chunked_matches_dense(case):
+    """Chunked per-plane selection == the dense x @ op[sel] product (the
+    halo route's replacement for the compute-both-bands matmul)."""
+    ch, bc, bn, thr, sel = case
+    ops = pn.stacked_notch_operators(bc, bn)
+    got = np.asarray(pn.notch_select_chunked(
+        jnp.asarray(ch), jnp.asarray(sel), ops, interpret=True,
+    ))
+    want = np.stack([
+        ch[b].astype(np.float64)
+        @ (bc if sel[b] == 0 else bn).astype(np.float64).T
+        for b in range(ch.shape[0])
+    ])
+    assert got.shape == ch.shape and got.dtype == np.float32
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_notch_select_chunked_tile_invariance(case):
+    """Every output tile is ONE full-contraction dot, so results must be
+    bit-identical across any (rows_tile, col_tile) choice."""
+    ch, bc, bn, thr, sel = case
+    ops = pn.stacked_notch_operators(bc, bn)
+    a = np.asarray(pn.notch_select_chunked(
+        jnp.asarray(ch), jnp.asarray(sel), ops,
+        rows_tile=32, col_tile=128, interpret=True,
+    ))
+    b = np.asarray(pn.notch_select_chunked(
+        jnp.asarray(ch), jnp.asarray(sel), ops,
+        rows_tile=96, col_tile=256, interpret=True,
+    ))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_notch_select_chunked_lane_aligned():
+    """Width already a lane multiple (no in-kernel pad masking path)."""
+    rng = np.random.default_rng(3)
+    B, h, w = 2, 64, 256
+    ch = (rng.normal(size=(B, h, w)) * 2.0).astype(np.float32)
+    bc = fft_notch.packed_notch_matrix(w, 10.0).astype(np.float32)
+    bn = fft_notch.packed_notch_matrix(w, 30.0).astype(np.float32)
+    sel = np.array([1, 0], np.int32)
+    ops = pn.stacked_notch_operators(bc, bn)
+    got = np.asarray(pn.notch_select_chunked(
+        jnp.asarray(ch), jnp.asarray(sel), ops, interpret=True,
+    ))
+    want = np.stack([
+        ch[b].astype(np.float64)
+        @ (bc if sel[b] == 0 else bn).astype(np.float64).T
+        for b in range(B)
+    ])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
